@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.model.CdcSchema
+import graft.operators.MergeInto
+import graft.table.LakeTable
+
+/** The tail→merge→commit ingest loop as a Structured Streaming job.
+  *
+  * Reference analog: the polling/backfill flows (/root/reference/
+  * convoetl/flows/orchestration.py:84–163, extraction.py:145–265) — the
+  * reference polls `MAX(message_id)` and re-extracts after it; here the
+  * checkpointed file-source offset log replaces the watermark query, and
+  * `foreachBatch(epochId)` + the manifest's committedEpochs ledger give
+  * the exactly-once property the reference only approximates with PK
+  * conflicts (SURVEY §2.10).
+  *
+  * Backfill vs tail is one code path: Trigger.AvailableNow drains the
+  * existing WAL segments and stops; ProcessingTime keeps tailing — the
+  * reference maintains two separate flows for this (orchestration.py:
+  * 44–69).
+  */
+object CdcIngest {
+
+  /** Start the ingest. `feedDir` contains WAL segments `seg_*` (mixed
+    * schema versions welcome: the source reads with the latest schema and
+    * `MergeInto.alignToLatest` resolves columns by name — additive
+    * evolution mid-stream).
+    */
+  def start(spark: SparkSession, feedDir: String, tableDir: String,
+            checkpointDir: String, numBuckets: Int = 32,
+            maxFilesPerTrigger: Option[Int] = None,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    if (!LakeTable.exists(tableDir)) LakeTable.create(tableDir, numBuckets)
+    var reader = spark.readStream
+      .schema(CdcSchema.latest)
+      .option("recursiveFileLookup", "false")
+    maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    val feed = reader.parquet(s"$feedDir/seg_*")
+    feed.writeStream
+      .queryName(s"cdc-ingest-${java.util.UUID.randomUUID().toString.take(8)}")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epochId: Long) =>
+        MergeInto.merge(batch.sparkSession, tableDir, batch, epochId)
+        ()
+      }
+      .start()
+  }
+
+  /** Drain everything currently in the feed and stop (backfill mode). */
+  def runAvailableNow(spark: SparkSession, feedDir: String, tableDir: String,
+                      checkpointDir: String, numBuckets: Int = 32,
+                      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val q = start(spark, feedDir, tableDir, checkpointDir, numBuckets,
+      maxFilesPerTrigger, Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+}

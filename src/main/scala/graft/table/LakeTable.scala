@@ -1,0 +1,162 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+import graft.model.CdcSchema
+import scala.jdk.CollectionConverters._
+
+/** One parquet data file tracked by a snapshot, with pruning stats
+  * (Iceberg-v2-style manifest entry; reference analog: the SQLite file +
+  * its indexes, SURVEY §4 "index-based access").
+  */
+case class FileEntry(
+    path: String, bucket: Int, rows: Long,
+    minSeq: Long, maxSeq: Long, minTsMs: Long, maxTsMs: Long)
+
+/** Per-epoch ingest ledger row (reference analog: `etl_runs`,
+  * /root/reference/convoetl/db/etl.py:15–55 — start/end ids, counts,
+  * status, messages_per_second).
+  */
+case class EpochStat(
+    epochId: Long, events: Long, upserts: Long, deletes: Long,
+    durationMs: Long, eventsPerSec: Double)
+
+/** Immutable snapshot manifest. `lineage` maps bucket → max applied seq
+  * (per-partition lineage offsets, north_rule). `committedEpochs` is the
+  * exactly-once ledger: a replayed epochId is a no-op.
+  */
+case class Snapshot(
+    snapshotId: Long,
+    parentId: Long,
+    schemaId: Int,
+    numBuckets: Int,
+    committedEpochs: List[Long],
+    files: List[FileEntry],
+    lineage: Map[String, Long],
+    epochStats: List[EpochStat],
+    liveRows: Long,
+    tombstones: Long)
+
+/** A minimal snapshot-committed lake table ("Iceberg-v2 semantics rebuilt"
+  * — no Iceberg jar ships in this env, SURVEY §7.0).
+  *
+  * Layout under `tableDir`:
+  *   meta/v{N}.json   — full snapshot manifest (immutable once written)
+  *   meta/CURRENT     — pointer file, swapped atomically (write-temp +
+  *                      ATOMIC_MOVE rename) — the single commit point
+  *   data/s{N}/bucket={b}/part-*.parquet — copy-on-write data files
+  *
+  * Readers resolve CURRENT → manifest → file list; data files never
+  * change after commit, so reads are snapshot-isolated. A crash between
+  * data-file write and CURRENT swap leaves only unreachable orphans —
+  * the retried epoch rewrites them (idempotence test, SURVEY §5.5).
+  *
+  * On a real cluster the identical protocol runs against an object store
+  * (rename → catalog CAS); the commit surface is this one file.
+  */
+object LakeTable {
+  implicit val fmts: Formats = DefaultFormats
+
+  private def meta(dir: String): Path = Paths.get(dir, "meta")
+  private def currentPtr(dir: String): Path = meta(dir).resolve("CURRENT")
+
+  def create(dir: String, numBuckets: Int = 32, schemaId: Int = CdcSchema.latestSchemaId): Snapshot = {
+    Files.createDirectories(meta(dir))
+    Files.createDirectories(Paths.get(dir, "data"))
+    val s0 = Snapshot(0L, -1L, schemaId, numBuckets, Nil, Nil, Map.empty, Nil, 0L, 0L)
+    commit(dir, s0, expectParent = -2L)
+    s0
+  }
+
+  def exists(dir: String): Boolean = Files.exists(currentPtr(dir))
+
+  def load(dir: String): Snapshot = {
+    val v = Files.readString(currentPtr(dir)).trim
+    Serialization.read[Snapshot](Files.readString(meta(dir).resolve(s"$v.json")))
+  }
+
+  /** Write manifest then atomically swap CURRENT. `expectParent` gives
+    * cheap optimistic concurrency for the single-writer ingest loop.
+    */
+  def commit(dir: String, snap: Snapshot, expectParent: Long): Unit = {
+    if (expectParent >= -1L) {
+      val cur = load(dir)
+      require(cur.snapshotId == expectParent,
+        s"concurrent commit: CURRENT=${cur.snapshotId}, expected parent=$expectParent")
+    }
+    val mf = meta(dir).resolve(s"v${snap.snapshotId}.json")
+    Files.writeString(mf, Serialization.write(snap))
+    val tmp = meta(dir).resolve(s".CURRENT.tmp.${snap.snapshotId}")
+    Files.writeString(tmp, s"v${snap.snapshotId}")
+    Files.move(tmp, currentPtr(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def emptyTable(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], CdcSchema.tableSchema)
+
+  /** Read raw table rows (tombstones included). `buckets = Some(set)`
+    * prunes at the FILE level from the manifest — the lake analog of
+    * partition pruning; a MERGE touching 3 of 32 buckets scans 3/32 of
+    * the table regardless of total size.
+    */
+  def read(spark: SparkSession, dir: String, snap: Snapshot,
+           buckets: Option[Set[Int]] = None): DataFrame = {
+    val files = buckets match {
+      case Some(bs) => snap.files.filter(f => bs.contains(f.bucket))
+      case None     => snap.files
+    }
+    if (files.isEmpty) emptyTable(spark)
+    else spark.read.schema(CdcSchema.tableSchema)
+      .parquet(files.map(f => s"$dir/${f.path}"): _*)
+  }
+
+  /** The user-facing latest-state view: live rows only. */
+  def readLive(spark: SparkSession, dir: String): DataFrame = {
+    val snap = load(dir)
+    read(spark, dir, snap).filter(!col("tombstone"))
+      .drop("tombstone")
+  }
+
+  def bucketOf(urlCol: org.apache.spark.sql.Column, numBuckets: Int) =
+    pmod(xxhash64(urlCol), lit(numBuckets)).cast("int")
+
+  /** Write `rows` (tableSchema + a `bucket` column) for the touched
+    * buckets of snapshot `snapId`; returns manifest entries with
+    * per-bucket pruning stats. One output file per bucket via
+    * repartition-by-bucket (at 100 TB each bucket is itself a directory
+    * of many files; the entry granularity stays per-file).
+    */
+  def writeBuckets(spark: SparkSession, dir: String, snapId: Long,
+                   rows: DataFrame, touched: Seq[Int]): List[FileEntry] = {
+    if (touched.isEmpty) return Nil
+    val rel = s"data/s$snapId"
+    val out = s"$dir/$rel"
+    rows
+      .repartition(touched.size, col("bucket"))
+      .sortWithinPartitions(col("url_hash"), col("url"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(out)
+    // per-bucket stats for manifest pruning
+    val stats = rows.groupBy(col("bucket")).agg(
+      count(lit(1)).as("rows"),
+      min(col("seq")).as("minSeq"), max(col("seq")).as("maxSeq"),
+      min(col("warc_ts")).cast("long").as("minTs"),
+      max(col("warc_ts")).cast("long").as("maxTs"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4) * 1000L, r.getLong(5) * 1000L)).toMap
+    val base = Paths.get(out)
+    val entries = Files.walk(base).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val relPath = Paths.get(dir).relativize(p).toString
+        val bucket = p.getParent.getFileName.toString.stripPrefix("bucket=").toInt
+        val (n, mnS, mxS, mnT, mxT) = stats.getOrElse(bucket, (0L, 0L, 0L, 0L, 0L))
+        FileEntry(relPath, bucket, n, mnS, mxS, mnT, mxT)
+      }.toList
+    entries
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.feedgen.{FeedGen, TextExtract}
+import graft.model.CdcSchema
+import graft.operators.{LwwCollapse, MergeInto}
+import graft.table.LakeTable
+
+/** End-to-end batch ingest: feedgen → collapse → merge (multiple epochs)
+  * → final table state equals the naive LWW oracle computed directly on
+  * the raw log; epoch retry is a no-op; text bytes are identical per url.
+  */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  val cfg = FeedGen.Config(seed = 42L, n = 8000L, nDomains = 60,
+    pathsPerDomain = 8, evolveAt = 5000L, segments = 4)
+
+  /** Naive oracle: latest event per url straight off the raw log,
+    * deletes removed — computed with a window, independent of the
+    * engine's union-collapse path.
+    */
+  def oracle(feed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"url").orderBy($"warc_ts".desc, $"seq".desc)
+    feed.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"op" =!= "D")
+      .drop("rn", "op")
+  }
+
+  def sortedState(df: DataFrame): Array[String] =
+    df.select($"url", $"warc_ts".cast("long"), $"seq", $"text", $"lang",
+        coalesce($"extra_score", lit(-1.0)), md5(coalesce($"html", lit(Array.empty[Byte]))))
+      .collect().map(_.toString).sorted
+
+  test("feedgen invariant: text == extract(html) for every event") {
+    val bad = FeedGen.events(spark, cfg)
+      .filter(e => e.op != "D" && e.text != TextExtract.extract(e.html))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("batch merge over 4 epochs matches naive LWW oracle; retry idempotent") {
+    val feedDir = tmpDir("feed")
+    val tableDir = tmpDir("table")
+    FeedGen.writeSegments(spark, cfg, feedDir)
+    LakeTable.create(tableDir, numBuckets = 16)
+
+    val feed = FeedGen.readFeed(spark, feedDir)
+    // 4 epochs split by seq range (mimics micro-batches)
+    val bounds = Seq((0L, 2000L), (2000L, 4000L), (4000L, 6000L), (6000L, 9000L))
+    bounds.zipWithIndex.foreach { case ((lo, hi), e) =>
+      val b = feed.filter($"seq" >= lo && $"seq" < hi)
+      val r1 = MergeInto.merge(spark, tableDir, b, e.toLong)
+      assert(r1.applied)
+      // exactly-once: redelivered epoch is skipped
+      val r2 = MergeInto.merge(spark, tableDir, b, e.toLong)
+      assert(!r2.applied)
+    }
+
+    val got = LakeTable.readLive(spark, tableDir)
+    val exp = oracle(feed)
+    assert(got.count() === exp.count())
+    assert(sortedState(got) === sortedState(exp))
+
+    // byte-identical text per url: re-derive text from stored html
+    val rederived = got.filter($"html".isNotNull).collect().forall { r =>
+      val html = r.getAs[Array[Byte]]("html")
+      TextExtract.extract(html) == r.getAs[String]("text")
+    }
+    assert(rederived)
+
+    // ledger: all 4 epochs committed exactly once; lineage non-empty
+    val snap = LakeTable.load(tableDir)
+    assert(snap.committedEpochs === List(0L, 1L, 2L, 3L))
+    assert(snap.epochStats.map(_.epochId) === List(0L, 1L, 2L, 3L))
+    assert(snap.lineage.nonEmpty)
+    assert(snap.liveRows === exp.count())
+  }
+
+  test("late update older than tombstone does not resurrect the row") {
+    val tableDir = tmpDir("table-ts")
+    LakeTable.create(tableDir, numBuckets = 4)
+    def ev(seq: Long, op: String, ts: Long, text: String) =
+      (seq, op, "https://x.example.com/1",
+        new java.sql.Timestamp(ts), null: Array[Byte], text, "en",
+        null.asInstanceOf[java.lang.Double])
+    val cols = CdcSchema.latest.fieldNames
+    val b1 = Seq(ev(1, "I", 1000L, "v1"), ev(3, "D", 3000L, null)).toDF(cols: _*)
+    val b2 = Seq(ev(2, "U", 2000L, "v2-late")).toDF(cols: _*) // older than D
+    MergeInto.merge(spark, tableDir, b1, 0L)
+    MergeInto.merge(spark, tableDir, b2, 1L)
+    assert(LakeTable.readLive(spark, tableDir).count() === 0L)
+    // and a NEWER update after the tombstone does resurrect
+    val b3 = Seq(ev(4, "U", 4000L, "v3-new")).toDF(cols: _*)
+    MergeInto.merge(spark, tableDir, b3, 2L)
+    val rows = LakeTable.readLive(spark, tableDir).collect()
+    assert(rows.length === 1 && rows(0).getAs[String]("text") === "v3-new")
+  }
+
+  test("schema evolution: v1 batch (no extra_score) merges into v2 table") {
+    val tableDir = tmpDir("table-ev")
+    LakeTable.create(tableDir, numBuckets = 4)
+    val v1cols = CdcSchema.v1.fieldNames
+    val b1 = Seq((1L, "I", "https://e.example.com/1",
+      new java.sql.Timestamp(1000L), null: Array[Byte], "t1", "en"))
+      .toDF(v1cols: _*)
+    MergeInto.merge(spark, tableDir, b1, 0L)
+    val got = LakeTable.readLive(spark, tableDir)
+    assert(got.columns.contains("extra_score"))
+    assert(got.select($"extra_score").collect()(0).isNullAt(0))
+  }
+
+  test("salted collapse ≡ plain collapse") {
+    val feed = FeedGen.events(spark, cfg.copy(n = 3000L)).toDF()
+    val a = LwwCollapse.collapse(feed)
+    val b = LwwCollapse.collapseSalted(feed, 8)
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
