@@ -1,0 +1,223 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operator family over `documents` — the large-scale
+  * training-data-pipeline ops: exact (hash-groupBy), n-gram Jaccard,
+  * MinHash+LSH, SimHash. All candidate generation is bucket-join shaped
+  * (explode → shuffle on the bucket key → pair within bucket), never an
+  * O(n²) cross join — the property that survives a 100× scale-up.
+  */
+object DedupQueries {
+  import Tables._
+  type Q = (SparkSession, String) => DataFrame
+
+  private val ShingleLen = 5 // 5-word shingles
+
+  /** DISTINCT word-5-gram shingles per doc: (doc_id, shingle). */
+  private def shingles(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    // guard: Spark's sequence(1, n) turns DESCENDING for n < 1 — a short
+    // doc must yield zero shingles, not garbage (DuckDB range() is empty)
+    val idx = when(size(w) >= ShingleLen,
+      sequence(lit(1), size(w) - (ShingleLen - 1)))
+      .otherwise(array().cast("array<int>"))
+    docs.select(col("doc_id"),
+        explode(transform(idx,
+          i => concat_ws(" ", slice(w, i, lit(ShingleLen))))).as("shingle"))
+      .distinct()
+  }
+
+  /** Candidate near-dup pairs by shared shingle + exact Jaccard.
+    * Shape: explode → groupBy(shingle) bucket join → pair-count →
+    * |A∩B| / (|A|+|B|-|A∩B|). The shared-shingle prefilter bounds the
+    * join to colliding docs only.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles(docs).persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val shared = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard", round(col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  private val MinhashK = 32 // 8 bands × 4 rows
+  private val Bands = 8
+
+  /** MinHash signatures: k per-seed min over xxhash64(seed, shingle). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val mins = (0 until MinhashK).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs agreeing on all rows of ≥1 band, with the
+    * minhash-estimated Jaccard (matching rows / k). Est-only — callers
+    * verify with ngramJaccardPairs on the candidates when exactness
+    * matters.
+    */
+  def minhashLshPairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs).persist()
+    val rowsPerBand = MinhashK / Bands
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i")): _*).as("bkt"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkt"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val est = (0 until MinhashK)
+      .map(i => when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(est.cast("double") / MinhashK, 4).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash from word hashes: per-bit majority vote as 64 sum
+    * aggregates (stays in whole-stage codegen; no UDF/UDAF).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val wordHash = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .select(col("doc_id"), xxhash64(col("word")).as("h"))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j"))
+    val agg = wordHash.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until 64).map(j =>
+      when(col(s"b_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), sh.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within hamming distance ≤ maxDist, candidates
+    * bucketed by 16-bit bands (a pair within distance 3 must agree on at
+    * least one of 4 bands — pigeonhole), verified by bit_count(xor).
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sh = simhash(docs).persist()
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bkt")))
+    val buckets = sh.select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bkt"))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup scalar summary (works even when the corpus is dup-free).
+    "dd01_exact_summary" -> ((s, d) => documents(s, d)
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))),
+
+    // Exact dedup on a weaker key (first-3-words prefix): keep min doc_id
+    // per key — the canonical hash-groupBy keeper selection.
+    "dd02_exact_keeper" -> ((s, d) => {
+      val key = concat_ws(" ", slice(split(col("text"), " "), 1, 3))
+      val w = Window.partitionBy(col("k")).orderBy(col("doc_id"))
+      documents(s, d).withColumn("k", key)
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+        .filter(col("n_copies") > 1)
+    }),
+
+    // n-gram Jaccard near-dup pairs (exact, bucket-join candidates).
+    "dd03_ngram_jaccard" -> ((s, d) =>
+      ngramJaccardPairs(documents(s, d), 0.8)),
+
+    // MinHash+LSH candidates — not SQL-expressible (engine hash); the
+    // driver records rows-only. Correctness vs exact Jaccard is asserted
+    // in DedupSpec instead.
+    "dd04_minhash_lsh" -> ((s, d) => minhashLshPairs(documents(s, d))),
+
+    // SimHash near-dups — rows-only for the driver; property-tested.
+    "dd05_simhash" -> ((s, d) => simhashPairs(documents(s, d), 3)),
+
+    // Embedding-cosine near-dup pairs, candidate-bucketed by label.
+    // (testdata vectors top out near cos≈0.48 within-label, so the
+    // "near-dup" threshold is 0.4 — the operator, not the constant,
+    // is the deliverable.)
+    "dd06_embedding_neardup" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val dot = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      val norm = (a: Column) => sqrt(aggregate(
+        transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(dot(col("a.v"), col("b.v")) /
+            (norm(col("a.v")) * norm(col("b.v"))), 4).as("cos"))
+        .filter(col("cos") >= 0.4)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dd01_exact_summary" ->
+      """SELECT count(*) AS n_total, count(DISTINCT md5(text)) AS n_distinct,
+        | count(*) - count(DISTINCT md5(text)) AS n_dups
+        |FROM documents""".stripMargin,
+    "dd02_exact_keeper" ->
+      """SELECT k, count(*) AS n_copies, min(doc_id) AS keeper FROM (
+        | SELECT doc_id, array_to_string((string_split(text,' '))[1:3], ' ') AS k
+        | FROM documents)
+        |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "dd03_ngram_jaccard" ->
+      """WITH sh AS (
+        | SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, len(string_split(text,' ')) - 3),
+        |    i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS shingle
+        |  FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |shared AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1,2)
+        |SELECT doc_a, doc_b,
+        | round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+        |FROM shared
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.8""".stripMargin,
+    "dd06_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a JOIN embeddings b
+        | ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])), 4) >= 0.4""".stripMargin
+  )
+}

@@ -1,0 +1,139 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity-search operator family over `embeddings` (vec_id,
+  * embedding ARRAY<FLOAT>, label): brute-force cosine top-k as the exact
+  * baseline, IVF-style inverted-list assignment, and random-hyperplane
+  * LSH as the scale path. Dot products are higher-order column
+  * expressions (`zip_with` + `aggregate`) — codegen'd, no UDF.
+  */
+object SimilarityQueries {
+  import Tables._
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+
+  /** Exact brute-force top-k neighbors for a bounded query set. The
+    * query side is broadcast (small by construction); the corpus side
+    * streams — the right plan shape for "score 100 queries against 10^9
+    * vectors". Ranks are made deterministic by (cos desc, vec_id).
+    */
+  def knnBruteForce(s: SparkSession, d: String, nQueries: Int, k: Int): DataFrame = {
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 4).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style assignment: nearest of K fixed centroids (the first K
+    * vectors — deterministic and oracle-expressible). At scale the
+    * centroid set is broadcast and each vector is scored once: one pass,
+    * no shuffle until the final per-list aggregate.
+    */
+  def ivfAssign(s: SparkSession, d: String, kCentroids: Int): DataFrame = {
+    val e = vecs(s, d)
+    val cents = e.filter(col("vec_id") < kCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("centroid_id"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        round(cosine(col("cv"), col("v")), 4).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("cos")), 4).as("avg_cos"))
+  }
+
+  /** Random-hyperplane LSH: 16 sign bits from splitmix64-derived
+    * hyperplanes → bucket; candidates share a bucket; exact cosine on
+    * candidates only. The hyperplane matrix is deterministic from the
+    * seed and lives in the plan as a literal (broadcast by value).
+    */
+  def lshBuckets(s: SparkSession, d: String, nPlanes: Int = 16,
+                 dim: Int = 64, seed: Long = 42L): DataFrame = {
+    def mix(zIn: Long): Long = {
+      var z = zIn + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val planes: Array[Array[Double]] = Array.tabulate(nPlanes, dim) { (p, i) =>
+      (mix(seed ^ (p * 1000003L + i)).toDouble / Long.MaxValue.toDouble)
+    }
+    val e = vecs(s, d)
+    val sig = planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit(_)).toIndexedSeq: _*)
+      when(dot(col("v"), planeCol) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    e.withColumn("bucket", sig)
+  }
+
+  /** ANN via LSH buckets: exact cosine within buckets only. 8 planes →
+    * 256 buckets, sized to the test corpus; at scale nPlanes grows with
+    * log2(corpus) to keep buckets bounded.
+    */
+  def annLsh(s: SparkSession, d: String, minCos: Double): DataFrame = {
+    val b = lshBuckets(s, d, nPlanes = 8)
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        round(cosine(col("x.v"), col("y.v")), 4).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s01_knn_bruteforce" -> ((s, d) => knnBruteForce(s, d, nQueries = 10, k = 5)),
+    "s02_ivf_assign" -> ((s, d) => ivfAssign(s, d, kCentroids = 8)),
+    // engine-hash bucketing — rows-only for the driver; recall vs
+    // brute force asserted in SimilaritySpec.
+    "s03_ann_lsh" -> ((s, d) => annLsh(s, d, 0.3))
+  )
+
+  val oracles: Map[String, String] = Map(
+    // NB: ranks order by the ROUNDED cosine + vec_id on both sides, so
+    // sub-1e-4 float noise cannot flip a rank across engines.
+    "s01_knn_bruteforce" ->
+      """WITH s AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |    CAST(c.embedding AS DOUBLE[])), 4) AS cos
+        | FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+        | WHERE q.vec_id < 10)
+        |SELECT query_id, vec_id, cos, rank FROM (
+        | SELECT query_id, vec_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rank FROM s)
+        |WHERE rank <= 5""".stripMargin,
+    "s02_ivf_assign" ->
+      """WITH s AS (
+        | SELECT v.vec_id, c.vec_id AS centroid_id,
+        |  round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |    CAST(v.embedding AS DOUBLE[])), 4) AS cos
+        | FROM embeddings v JOIN embeddings c ON c.vec_id < 8),
+        |scored AS (SELECT vec_id, centroid_id, cos,
+        |  row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cos DESC, centroid_id) AS rn FROM s)
+        |SELECT centroid_id, count(*) AS n_vecs, round(avg(cos),4) AS avg_cos
+        |FROM scored WHERE rn = 1 GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,230 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator family over the `documents` table: the
+  * reference's per-message derived-metric row loop (§2.9,
+  * /root/reference/generic_analytics_flow_simple.py:53–99) re-expressed
+  * as codegen'd column expressions, plus the large-scale training-data
+  * text ops (language-ID, quality scoring, token counting, document
+  * fingerprinting). Zero UDFs on any hot path — every metric is a
+  * built-in expression that stays inside whole-stage codegen.
+  */
+object TextQueries {
+  import Tables._
+  type Q = (SparkSession, String) => DataFrame
+
+  private def words(c: Column): Column = split(c, " ")
+  // stopword lists: deterministic heuristic language-ID (public-knowledge
+  // function words; doubles as the quality-score stopword set).
+  private val stopEn = Seq("the", "and", "of", "to", "a", "in", "is", "it", "data", "value")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu")
+  private val stopFr = Seq("le", "la", "et", "les", "des", "un", "une", "est")
+  private val stopEs = Seq("el", "la", "de", "que", "y", "los", "un", "una")
+
+  private def hitCount(c: Column, stops: Seq[String]): Column =
+    size(filter(words(c), w => w.isInCollection(stops)))
+
+  /** Rolling polynomial fingerprint over the word stream, mod 1e9+7 —
+    * matches the DuckDB list_reduce oracle exactly because both fold
+    * left-to-right with the same word valuation (first-char codepoint
+    * and length only; engine-specific hash functions would not be
+    * oracle-comparable).
+    */
+  private def fingerprint(c: Column): Column = {
+    val vals = transform(words(c), w => (ascii(w) * 31 + length(w)).cast("long"))
+    aggregate(vals, lit(0L), (acc, v) => (acc * 131 + v) % 1000000007L)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // A2: conditional aggregates (queries.py:112–116,260–266).
+    "t01_conditional_agg" -> ((s, d) => documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("text").contains("data"), 1L).otherwise(0L)).as("with_data"),
+        sum(when(col("text").contains("spark"), 1L).otherwise(0L)).as("with_spark"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))),
+
+    // P6: CASE classification ladder (queries.py:30–39,93–104).
+    "t02_case_classify" -> ((s, d) => documents(s, d)
+      .withColumn("size_class",
+        when(col("n_chars") >= 400, "long")
+          .when(col("n_chars") >= 200, "medium")
+          .otherwise("short"))
+      .groupBy(col("lang"), col("size_class"))
+      .agg(count(lit(1)).as("n"))),
+
+    // F4: top-k words via explode+groupBy — the operator the reference
+    // stubs as hardcoded UNION ALL (generic_analytics.md:187–204).
+    "t03_topk_words" -> ((s, d) => documents(s, d)
+      .select(explode(words(lower(col("text")))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(25)),
+
+    // §2.9: the full per-row derived-metric map, vectorized.
+    "t04_text_metrics" -> ((s, d) => {
+      val w = words(col("text"))
+      documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("char_count"),
+        size(w).cast("long").as("word_count"),
+        size(array_distinct(w)).cast("long").as("uniq_words"),
+        round(size(array_distinct(w)).cast("double") /
+          nullif(size(w), lit(0)), 4).as("lexical_diversity"),
+        round((length(col("text")) - (size(w) - 1)).cast("double") /
+          nullif(size(w), lit(0)), 4).as("avg_word_len"))
+    }),
+
+    // P4: LIKE predicate filter (queries.py:31–33).
+    "t05_like_filter" -> ((s, d) => documents(s, d)
+      .filter(col("text").like("%table%"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))),
+
+    // §2.8 scalar-function suite: UPPER/REPLACE/SUBSTR/CONCAT/CAST/ROUND.
+    "t06_scalar_fns" -> ((s, d) => documents(s, d)
+      .select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 10)).as("head_up"),
+        concat(col("lang"), lit(":"), col("source")).as("tag"),
+        (length(col("text")) - length(regexp_replace(col("text"), "a", "")))
+          .cast("long").as("n_a"),
+        round(col("n_chars") / 100.0, 2).as("hecto_chars"))),
+
+    // Training-data op: heuristic stopword language-ID + accuracy vs the
+    // labeled lang column.
+    "t07_langid" -> ((s, d) => {
+      val t = lower(col("text"))
+      val scored = documents(s, d)
+        .withColumn("s_en", hitCount(t, stopEn))
+        .withColumn("s_de", hitCount(t, stopDe))
+        .withColumn("s_fr", hitCount(t, stopFr))
+        .withColumn("s_es", hitCount(t, stopEs))
+      scored
+        .withColumn("pred",
+          when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+            .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+            .when(col("s_fr") >= col("s_es"), "fr")
+            .otherwise("es"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Training-data op: quality scoring (length/stopword-ratio mix).
+    "t08_quality_score" -> ((s, d) => {
+      val w = words(col("text"))
+      val stopRatio = hitCount(lower(col("text")), stopEn).cast("double") /
+        nullif(size(w), lit(0))
+      val lenScore = least(length(col("text")).cast("double") / 500.0, lit(1.0))
+      documents(s, d)
+        .withColumn("quality",
+          round(lenScore * 0.6 + stopRatio * 0.4, 4))
+        .withColumn("bucket", floor(col("quality") * 10).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("quality")), 4).as("avg_q"))
+    }),
+
+    // Training-data op: token counting — whitespace + BPE-ish regex.
+    "t09_token_count" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("re_tokens"))),
+
+    // Training-data op: rolling-hash document fingerprint.
+    "t10_fingerprint" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))),
+
+    // Multimodal plumbing: opaque binary column + typed metadata.
+    // The "decode" is a deterministic stub (no media libs in this env);
+    // the schema/expression plumbing is the real, tested part.
+    "mm01_binary_meta" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        substring(md5(col("text")), 1, 8).as("content_key")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t01_conditional_agg" ->
+      """SELECT lang, count(*) AS docs,
+        | sum(CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END) AS with_data,
+        | sum(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS with_spark,
+        | round(avg(n_chars),4) AS avg_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "t02_case_classify" ->
+      """SELECT lang,
+        | CASE WHEN n_chars >= 400 THEN 'long'
+        |   WHEN n_chars >= 200 THEN 'medium' ELSE 'short' END AS size_class,
+        | count(*) AS n
+        |FROM documents GROUP BY 1,2""".stripMargin,
+    "t03_topk_words" ->
+      """SELECT word, count(*) AS cnt FROM (
+        | SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY 1 ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
+    "t04_text_metrics" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS char_count,
+        | CAST(len(string_split(text,' ')) AS BIGINT) AS word_count,
+        | CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS uniq_words,
+        | round(len(list_distinct(string_split(text,' '))) * 1.0
+        |   / nullif(len(string_split(text,' ')),0), 4) AS lexical_diversity,
+        | round((length(text) - (len(string_split(text,' ')) - 1)) * 1.0
+        |   / nullif(len(string_split(text,' ')),0), 4) AS avg_word_len
+        |FROM documents""".stripMargin,
+    "t05_like_filter" ->
+      """SELECT source, count(*) AS n FROM documents
+        |WHERE text LIKE '%table%' GROUP BY 1""".stripMargin,
+    "t06_scalar_fns" ->
+      """SELECT doc_id,
+        | upper(substr(text, 1, 10)) AS head_up,
+        | concat(lang, ':', source) AS tag,
+        | CAST(length(text) - length(replace(text, 'a', '')) AS BIGINT) AS n_a,
+        | round(n_chars / 100.0, 2) AS hecto_chars
+        |FROM documents""".stripMargin,
+    "t07_langid" -> {
+      def hits(l: Seq[String]) =
+        l.map(w => s"'$w'").mkString("len(list_filter(string_split(lower(text),' '), w -> w IN (", ",", ")))")
+      s"""WITH sc AS (SELECT lang,
+         | ${hits(stopEn)} AS s_en, ${hits(stopDe)} AS s_de,
+         | ${hits(stopFr)} AS s_fr, ${hits(stopEs)} AS s_es
+         | FROM documents)
+         |SELECT lang,
+         | CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+         |   WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+         |   WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred,
+         | count(*) AS n
+         |FROM sc GROUP BY 1,2""".stripMargin
+    },
+    "t08_quality_score" -> {
+      val hits = stopEn.map(w => s"'$w'")
+        .mkString("len(list_filter(string_split(lower(text),' '), w -> w IN (", ",", ")))")
+      s"""WITH q AS (SELECT round(
+         |  least(length(text) / 500.0, 1.0) * 0.6 +
+         |  ($hits * 1.0 / nullif(len(string_split(text,' ')),0)) * 0.4, 4) AS quality
+         | FROM documents)
+         |SELECT CAST(floor(quality * 10) AS BIGINT) AS bucket, count(*) AS n,
+         | round(avg(quality),4) AS avg_q
+         |FROM q GROUP BY 1""".stripMargin
+    },
+    "t09_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+        |FROM documents""".stripMargin,
+    "t10_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(text, ' '),
+        |       w -> CAST(ascii(w) * 31 + length(w) AS BIGINT))),
+        |   (a, b) -> (a * 131 + b) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
+    "mm01_binary_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | substr(md5(text), 1, 8) AS content_key
+        |FROM documents""".stripMargin
+  )
+}

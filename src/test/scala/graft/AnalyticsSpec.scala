@@ -1,0 +1,34 @@
+package graft
+
+/** Every SparkEntry query must run clean on the smoke tier; entries the
+  * fixture guarantees non-empty must return rows.
+  */
+class AnalyticsSpec extends SparkSpec {
+  val sf = "/root/testdata/sf0.001"
+
+  // sparse/threshold queries may legitimately be empty at the smallest sf
+  val mayBeEmpty = Set("dd03_ngram_jaccard", "dd04_minhash_lsh",
+    "dd05_simhash", "dd06_embedding_neardup", "s03_ann_lsh",
+    "q04_anti_join", "q21_except_users", "q07_burst_hours",
+    "dd02_exact_keeper")
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs on sf0.001") {
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(df.columns.nonEmpty)
+      if (!mayBeEmpty.contains(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query has an oracle or a documented rows-only reason") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // engine-hash-based ops are the only sanctioned oracle-less entries
+    assert(noOracle.subsetOf(Set("dd04_minhash_lsh", "dd05_simhash",
+      "s03_ann_lsh", "mm02_frame_extract")), s"missing oracle for: $noOracle")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.{DedupQueries, SimilarityQueries, Tables}
+
+/** Semantic invariants for the engine-hash dedup/similarity operators
+  * that have no SQL oracle (the driver records rows-only for them).
+  */
+class DedupSimilaritySpec extends SparkSpec {
+  val sf = "/root/testdata/sf0.01"
+
+  test("minhash LSH recall: every exact-Jaccard≥0.9 pair is a candidate") {
+    val docs = Tables.documents(spark, sf)
+    val exact = DedupQueries.ngramJaccardPairs(docs, 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupQueries.minhashLshPairs(docs)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain high-Jaccard pairs")
+    val missed = exact -- lsh
+    assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
+  }
+
+  test("minhash estimate tracks exact Jaccard on candidates") {
+    val docs = Tables.documents(spark, sf)
+    val exact = DedupQueries.ngramJaccardPairs(docs, 0.0)
+      .withColumnRenamed("jaccard", "exact_j")
+    val est = DedupQueries.minhashLshPairs(docs)
+    val joined = est.join(exact, Seq("doc_a", "doc_b")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val e = r.getAs[Double]("est_jaccard")
+      val x = r.getAs[Double]("exact_j")
+      assert(math.abs(e - x) <= 0.35, s"estimate $e too far from exact $x")
+    }
+  }
+
+  test("simhash pairs have verified hamming distance") {
+    val docs = Tables.documents(spark, sf)
+    val sh = DedupQueries.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = DedupQueries.simhashPairs(docs, 3).collect()
+    pairs.foreach { r =>
+      val d = java.lang.Long.bitCount(sh(r.getLong(0)) ^ sh(r.getLong(1)))
+      assert(d == r.getAs[Number]("hamming").intValue && d <= 3)
+    }
+  }
+
+  test("knn rank-1 is the true argmax neighbor") {
+    val knn = SimilarityQueries.knnBruteForce(spark, sf, 10, 5)
+    val top1 = knn.filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toMap
+    assert(top1.size == 10)
+    // recompute max cosine per query on the driver
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    (0L until 10L).foreach { q =>
+      val best = vecs.filter(_._1 >= 10).maxBy { case (_, v) => cos(vecs(q), v) }
+      val (gotId, gotCos) = top1(q)
+      val bestCos = cos(vecs(q), best._2)
+      assert(math.abs(gotCos - bestCos) < 1e-3,
+        s"q$q: got ($gotId,$gotCos) best (${best._1},$bestCos)")
+    }
+  }
+
+  test("ann lsh precision: returned pairs truly exceed threshold") {
+    val pairs = SimilarityQueries.annLsh(spark, sf, 0.3).collect()
+    pairs.foreach(r => assert(r.getAs[Double]("cos") >= 0.3))
+  }
+}
