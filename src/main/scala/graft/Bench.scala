@@ -1,24 +1,43 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: one JSON line with the analytics-suite timings
+  * on SPARK_GRAFT_SF_DIR plus the CDC ingest throughput (the engine's
+  * headline metric per BASELINE.md §2).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val ingestN = sys.env.getOrElse("SPARK_GRAFT_INGEST_N", "1000000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warm the JVM/codegen once on the smallest tier so per-query numbers
+    // measure the plan, not first-call classloading
+    SparkEntry.queries.get("q01_pricing_summary")
+      .foreach(fn => fn(spark, "/root/testdata/sf0.001").count())
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+
+    val base = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val ing = graft.bench.IngestBenchCore.run(spark, ingestN, cpus, base)
+
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_events_per_sec":${ing.backfillEps.round},"ingest_tail_events_per_sec":${ing.tailEps.round},"ingest_events":${ing.events},"ingest_backfill_sec":${f"${ing.backfillSec}%.2f"},"cores":$cpus}""")
     spark.stop()
   }
 }

@@ -1,0 +1,79 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import graft.feedgen.FeedGen
+import graft.streaming.CdcIngest
+import graft.table.LakeTable
+
+/** End-to-end ingest benchmark: generate a seeded CDC feed (timed
+  * separately), then measure the north-rule metric — change-events/sec
+  * through tail→collapse→merge→commit (the full streaming path incl.
+  * checkpoint + snapshot commit), backfill epoch + one incremental tail
+  * epoch.
+  */
+object IngestBenchCore {
+
+  final case class Result(
+      events: Long, cores: Int,
+      feedgenSec: Double, backfillSec: Double, tailSec: Double,
+      backfillEps: Double, tailEps: Double, liveRows: Long)
+
+  def run(spark: SparkSession, n: Long, cores: Int, baseDir: String): Result = {
+    val feedDir = s"$baseDir/feed"
+    val tableDir = s"$baseDir/table"
+    val ckptDir = s"$baseDir/ckpt"
+    val tailN = math.max(n / 8, 1L)
+    val cfg = FeedGen.Config(seed = 42L, n = n, nDomains = 2000,
+      pathsPerDomain = 100, evolveAt = n / 2,
+      segments = math.max(8, cores))
+
+    val t0 = System.nanoTime()
+    FeedGen.writeSegments(spark, cfg, feedDir)
+    val tGen = (System.nanoTime() - t0) / 1e9
+
+    // backfill: everything in one AvailableNow drain
+    val t1 = System.nanoTime()
+    CdcIngest.runAvailableNow(spark, feedDir, tableDir, ckptDir, numBuckets = 64)
+    val tBackfill = (System.nanoTime() - t1) / 1e9
+
+    // incremental tail: one more WAL segment arrives, stream resumes
+    val cfg2 = cfg.copy(n = n + tailN)
+    import spark.implicits._
+    val extra = spark.range(n, n + tailN, 1, cores)
+      .map(i => FeedGen.event(cfg2, i)).toDF()
+    FeedGen.appendSegment(spark, feedDir, extra, "tail")
+    val t2 = System.nanoTime()
+    CdcIngest.runAvailableNow(spark, feedDir, tableDir, ckptDir, numBuckets = 64)
+    val tTail = (System.nanoTime() - t2) / 1e9
+
+    val snap = LakeTable.load(tableDir)
+    Result(n, cores, tGen, tBackfill, tTail,
+      n / tBackfill, tailN / tTail, snap.liveRows)
+  }
+}
+
+/** Standalone main for the two-cluster-size scaling runs:
+  *   SPARK_GRAFT_CPUS=8|32 SPARK_GRAFT_INGEST_N=... runMain graft.bench.IngestBench
+  * prints one JSON line; BENCH/BASELINE.md records both and the derived
+  * scaling efficiency (sandbox substitution for N vs 4N executors).
+  */
+object IngestBench {
+  def main(args: Array[String]): Unit = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val n = sys.env.getOrElse("SPARK_GRAFT_INGEST_N", "1000000").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-ingest-bench")
+      .config("spark.sql.shuffle.partitions", cores * 2)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = java.nio.file.Files.createTempDirectory("graft-ibench").toString
+    val r = IngestBenchCore.run(spark, n, cores, base)
+    println(
+      s"""{"metric":"ingest_events_per_sec","value":${r.backfillEps.round},"unit":"events/sec","cores":${r.cores},"events":${r.events},"feedgen_sec":${f"${r.feedgenSec}%.2f"},"backfill_sec":${f"${r.backfillSec}%.2f"},"tail_sec":${f"${r.tailSec}%.2f"},"tail_events_per_sec":${r.tailEps.round},"live_rows":${r.liveRows}}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,52 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import graft.feedgen.FeedGen
+import graft.streaming.CdcIngest
+
+/** Two-cluster-size scaling evidence (north_rule; sandbox substitution:
+  * same job, same input, local[N] vs local[4N]). Runs the full streaming
+  * backfill (tail→collapse→merge→commit) `trials` times over ONE shared
+  * pre-generated feed and reports every trial — the minimum is the
+  * least-noise estimate on a shared VM (steal time, page cache).
+  *
+  *   SPARK_GRAFT_CPUS=8|32 SPARK_GRAFT_INGEST_N=8000000 \
+  *     SPARK_GRAFT_FEED_DIR=/tmp/graft-scaling-feed \
+  *     sbt "runMain graft.bench.ScalingBench"
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val n = sys.env.getOrElse("SPARK_GRAFT_INGEST_N", "4000000").toLong
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
+    val feedDir = sys.env.getOrElse("SPARK_GRAFT_FEED_DIR",
+      s"/tmp/graft-scaling-feed-$n")
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-scaling-bench")
+      .config("spark.sql.shuffle.partitions", cores * 2)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cfg = FeedGen.Config(seed = 42L, n = n, nDomains = 2000,
+      pathsPerDomain = 100, evolveAt = n / 2, segments = 32)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(feedDir, "wal")))
+      FeedGen.writeSegments(spark, cfg, feedDir)
+
+    val times = (1 to trials).map { t =>
+      val base = java.nio.file.Files.createTempDirectory(s"graft-scale-$t").toString
+      val t0 = System.nanoTime()
+      CdcIngest.runAvailableNow(spark, feedDir, s"$base/table", s"$base/ckpt",
+        numBuckets = 64)
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scaling] trial $t: $sec%.2f s")
+      sec
+    }
+    val best = times.min
+    println(s"""{"metric":"scaling_backfill","cores":$cores,"events":$n,"trials":[${times.map(x => f"$x%.2f").mkString(",")}],"best_sec":${f"$best%.2f"},"best_events_per_sec":${(n / best).round}}""")
+    spark.stop()
+  }
+}

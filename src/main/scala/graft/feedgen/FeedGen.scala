@@ -127,25 +127,66 @@ object FeedGen {
     * schema-evolution fixture happens at the file level, exactly as a
     * real binlog archive would evolve.
     */
+  /** The feed is a flat `wal/` directory of parquet segment FILES (the
+    * file-stream source's native unit). Written as at most two jobs (one
+    * per schema version) with ONE RANGE TASK PER SEGMENT: each task
+    * generates only its contiguous seq slice and writes exactly one
+    * file — no sort, no shuffle, no re-scan; generation parallelism ==
+    * segment count at any n.
+    */
   def writeSegments(spark: SparkSession, cfg: Config, dir: String): Seq[String] = {
-    val ds = events(spark, cfg)
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(dir, "wal"))
     val per = math.max(1L, (cfg.n + cfg.segments - 1) / cfg.segments)
-    (0 until cfg.segments).map { g =>
-      val lo = g * per
-      val hi = math.min(cfg.n, lo + per)
-      val seg = ds.filter(e => e.seq >= lo && e.seq < hi)
-      val out = f"$dir/seg_$g%05d"
-      val df =
-        if (hi <= cfg.evolveAt) seg.drop("extra_score") else seg.toDF()
-      df.repartition(spark.sparkContext.defaultParallelism)
-        .write.mode("overwrite").parquet(out)
-      out
+    val k1 = (0 until cfg.segments).count(g => (g + 1) * per <= cfg.evolveAt)
+    val b = math.min(k1 * per, cfg.n) // v1/v2 boundary in seq space
+    val c = cfg
+    import spark.implicits._
+    def gen(lo: Long, hi: Long, parts: Int) =
+      spark.range(lo, hi, 1, parts).map(i => event(c, i)).toDF()
+    var out = List.empty[String]
+    if (b > 0)
+      out ++= moveParts(
+        write(gen(0L, b, k1).drop("extra_score"), s"$dir/.tmp_v1"),
+        s"$dir/wal", "a")
+    if (b < cfg.n)
+      out ++= moveParts(
+        write(gen(b, cfg.n, cfg.segments - k1), s"$dir/.tmp_v2"),
+        s"$dir/wal", "b")
+    out
+  }
+
+  /** Append one more WAL segment (tail arrival) from an event DataFrame. */
+  def appendSegment(spark: SparkSession, dir: String,
+                    df: org.apache.spark.sql.DataFrame, tag: String): Seq[String] =
+    moveParts(write(df, s"$dir/.tmp_$tag"), s"$dir/wal", tag)
+
+  private def write(df: org.apache.spark.sql.DataFrame, tmp: String): String = {
+    df.write.mode("overwrite").parquet(tmp)
+    tmp
+  }
+
+  /** Move part files out of a temp write dir into wal/ as uniquely named
+    * segment files; delete the temp dir.
+    */
+  private def moveParts(tmp: String, wal: String, tag: String): List[String] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val parts = Files.list(Paths.get(tmp)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toList.sortBy(_.toString)
+    val moved = parts.zipWithIndex.map { case (p, i) =>
+      val dst = Paths.get(wal, f"seg_${tag}_$i%05d.parquet")
+      Files.move(p, dst, StandardCopyOption.ATOMIC_MOVE)
+      dst.toString
     }
+    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.deleteIfExists(f))
+    moved
   }
 
   /** Batch-read an entire feed directory (all segments), aligned to the
     * latest schema (missing columns → null).
     */
   def readFeed(spark: SparkSession, dir: String) =
-    spark.read.schema(CdcSchema.latest).parquet(s"$dir/seg_*")
+    spark.read.schema(CdcSchema.latest).parquet(s"$dir/wal")
 }

@@ -17,14 +17,23 @@ import graft.table.{EpochStat, FileEntry, LakeTable, Snapshot}
   * redelivered epoch (foreachBatch retry after crash) is detected and
   * skipped BEFORE any work, so the sink is idempotent end-to-end.
   *
-  * Scale shape: the batch is LWW-collapsed first (map-side combine bounds
-  * hot-key skew), then only the url-hash buckets the batch actually
-  * touches are read back and rewritten — a batch touching 3 of P buckets
-  * costs O(3/P · tableSize) I/O, independent of total table size. The
-  * target∪source resolution reuses the same associative collapse (a
-  * union-collapse IS a full-outer merge with LWW resolution, without the
-  * join: fewer shuffles, same semantics — both sides are hashed once by
-  * url).
+  * Scale/latency shape — the epoch costs exactly four Spark jobs:
+  *   1. winners: one shuffle-by-url hash aggregate over the batch
+  *      (`max_by` partial aggregation pre-combines hot keys map-side —
+  *      the skew bound) carrying the per-url event count so the raw
+  *      batch is scanned exactly once;
+  *   2. one small collect of per-bucket batch stats (touched buckets,
+  *      counts, lineage) off the cached winners;
+  *   3. the merged write (union of pruned target buckets + winners,
+  *      second url aggregate, bucket-partitioned files);
+  *   4. one per-bucket stats aggregate off the cached merge result.
+  * Old live/tombstone accounting comes from manifest file stats — no
+  * rescan of the target. Only the url-hash buckets the batch touches are
+  * read and rewritten: a batch touching 3 of P buckets costs
+  * O(3/P · tableSize) I/O regardless of table size. The target∪source
+  * resolution reuses the associative LWW collapse (a union-collapse IS a
+  * full-outer merge with LWW resolution, without the join: both sides
+  * hash once by url, no second shuffle).
   */
 object MergeInto {
 
@@ -46,20 +55,13 @@ object MergeInto {
     batch.select(cols.toIndexedSeq: _*)
   }
 
-  /** Feed-schema rows → table-schema rows (+ bucket routing column). */
-  private def toTableRows(df: DataFrame, numBuckets: Int): DataFrame =
-    df.select(
-      col("url"),
-      xxhash64(col("url")).as("url_hash"),
-      col("warc_ts"),
-      col("seq"),
-      (col("op") === "D").as("tombstone"),
-      col("html"), col("text"), col("lang"), col("extra_score"))
-      .withColumn("bucket", pmod(col("url_hash"), lit(numBuckets)).cast("int"))
+  private def ordKey = struct(col("warc_ts"), col("seq"))
 
-  /** Existing table rows → same shape as toTableRows output. */
-  private def tableRowsWithBucket(df: DataFrame, numBuckets: Int): DataFrame =
-    df.withColumn("bucket", pmod(col("url_hash"), lit(numBuckets)).cast("int"))
+  /** Above this many distinct urls per epoch the winner-key set is no
+    * longer broadcastable and the merge falls back to the full-payload
+    * shuffle. ~4M keys × ~60B ≈ 240MB broadcast ceiling.
+    */
+  val BroadcastKeyLimit: Long = 4000000L
 
   def merge(spark: SparkSession, tableDir: String, batchIn: DataFrame,
             epochId: Long): MergeResult = {
@@ -67,77 +69,114 @@ object MergeInto {
     val snap = LakeTable.load(tableDir)
     if (snap.committedEpochs.contains(epochId))
       return MergeResult(snap, applied = false, 0L, 0L, 0L, 0L)
+    def elapsedMs = (System.nanoTime() - t0) / 1000000L
 
+    // 1. two-phase LWW winner selection. Phase A shuffles only the
+    //    NARROW key columns (url, warc_ts, seq, op) — never the html/text
+    //    payload: at web scale the payload is ~95% of the row, so the
+    //    winner-key aggregate costs ~1/20 of a payload shuffle. Phase B
+    //    broadcasts the winning (url, warc_ts, seq) keys back over the
+    //    batch and keeps winner rows map-side — zero payload shuffle.
+    //    (Fallback below if the key set is too big to broadcast.)
     val batch = alignToLatest(batchIn)
-    // LWW winners per url within the batch (map-side combined).
-    val winners = toTableRows(
-      LwwCollapse.collapse(batch), snap.numBuckets)
-    winners.persist()
+    val rows = batch.select(
+      col("url"),
+      xxhash64(col("url")).as("url_hash"),
+      col("warc_ts"), col("seq"),
+      (col("op") === "D").as("tombstone"),
+      col("html"), col("text"), col("lang"), col("extra_score"))
+      .withColumn("bucket", pmod(col("url_hash"), lit(snap.numBuckets)).cast("int"))
+    val keyAgg = rows
+      .select(col("url"), col("bucket"), col("warc_ts"), col("seq"), col("tombstone"))
+      .groupBy(col("url"))
+      .agg(max(ordKey).as("k"),
+        max_by(col("tombstone"), ordKey).as("_tomb"),
+        count(lit(1)).as("_n_events"),
+        first(col("bucket")).as("_bucket"))
+    keyAgg.persist()
     try {
-      val events = batch.count()
-      val touched = winners.select(col("bucket")).distinct()
-        .collect().map(_.getInt(0)).sorted.toSeq
-      if (touched.isEmpty) {
-        // empty batch: still commit the epoch so replay skips it
+      // 2. per-bucket batch stats: touched set, metric counts, lineage.
+      val bstats = keyAgg.groupBy(col("_bucket").as("bucket")).agg(
+        sum(col("_n_events")).as("events"),
+        sum(when(col("_tomb"), 1L).otherwise(0L)).as("dels"),
+        count(lit(1)).as("keys"),
+        max(col("k.seq")).as("maxSeq")).collect()
+      if (bstats.isEmpty) {
         val s2 = snap.copy(
           snapshotId = snap.snapshotId + 1, parentId = snap.snapshotId,
           committedEpochs = (snap.committedEpochs :+ epochId).sorted,
           epochStats = snap.epochStats :+ EpochStat(epochId, 0, 0, 0, 0, 0.0))
         LakeTable.commit(tableDir, s2, expectParent = snap.snapshotId)
-        return MergeResult(s2, applied = true, 0L, 0L, 0L,
-          (System.nanoTime() - t0) / 1000000L)
+        return MergeResult(s2, applied = true, 0L, 0L, 0L, elapsedMs)
       }
+      val touched = bstats.map(_.getInt(0)).sorted.toSeq
       val touchedSet = touched.toSet
-      val target = tableRowsWithBucket(
-        LakeTable.read(spark, tableDir, snap, Some(touchedSet)), snap.numBuckets)
+      val events = bstats.map(_.getLong(1)).sum
+      val delW = bstats.map(_.getLong(2)).sum
+      val nKeys = bstats.map(_.getLong(3)).sum
+      val upsW = nKeys - delW
+      val batchLineage = bstats.map(r => r.getInt(0).toString -> r.getLong(4)).toMap
 
-      // union-collapse resolution: per url keep max(warc_ts, seq) of
-      // {current table row} ∪ {batch winner}. Tombstones stay as rows so
-      // an update older than a delete cannot resurrect the url.
-      val ordKey = struct(col("warc_ts"), col("seq"))
-      val cols = target.columns.map(col).toIndexedSeq
+      // Phase B: materialize winner rows. Broadcast path when the key
+      // set fits (≤ BroadcastKeyLimit urls): winner keys hash-joined
+      // map-side against the batch, then a final per-url collapse over
+      // ONLY the surviving rows (exact redelivered duplicates of the
+      // winner may pass the key join twice). Shuffle = winner rows, not
+      // the batch. Fallback: classic full-payload max_by shuffle.
+      val payload = struct(rows.columns.map(col).toIndexedSeq: _*)
+      val winners =
+        if (nKeys <= BroadcastKeyLimit) {
+          val keys = keyAgg.select(col("url"),
+            col("k.warc_ts").as("_w_ts"), col("k.seq").as("_w_seq"))
+          rows.join(broadcast(keys),
+              rows("url") === keys("url") &&
+                rows("warc_ts") === col("_w_ts") && rows("seq") === col("_w_seq"))
+            .drop("_w_ts", "_w_seq").drop(keys("url"))
+            .groupBy(col("url"))
+            .agg(max_by(payload, ordKey).as("w"))
+            .select(col("w.*"))
+        } else {
+          rows.groupBy(col("url"))
+            .agg(max_by(payload, ordKey).as("w"))
+            .select(col("w.*"))
+        }
+
+      // 3. union-collapse resolution over pruned target buckets: per url
+      //    keep max(warc_ts, seq) of {table row} ∪ {batch winner}.
+      //    Tombstones stay as rows so an update older than a delete
+      //    cannot resurrect the url.
+      val target = LakeTable.read(spark, tableDir, snap, Some(touchedSet))
+        .withColumn("bucket", pmod(col("url_hash"), lit(snap.numBuckets)).cast("int"))
+      val tCols = target.columns.map(col).toIndexedSeq
       val merged = target.unionByName(winners)
         .groupBy(col("url"))
-        .agg(max_by(struct(cols: _*), ordKey).as("w"))
+        .agg(max_by(struct(tCols: _*), ordKey).as("w"))
         .select(col("w.*"))
       merged.persist()
+      try {
+        // 4. write + per-bucket stats (two jobs over the cached result).
+        val newId = snap.snapshotId + 1
+        val newFiles = LakeTable.writeBuckets(spark, tableDir, newId, merged, touched)
 
-      val newId = snap.snapshotId + 1
-      val newFiles = LakeTable.writeBuckets(spark, tableDir, newId, merged, touched)
-
-      val delW = winners.filter(col("tombstone")).count()
-      val upsW = winners.count() - delW
-      val liveDelta = merged.agg(
-        sum(when(col("tombstone"), 0L).otherwise(1L)),
-        sum(when(col("tombstone"), 1L).otherwise(0L))).collect()(0)
-      val touchedLiveOld = target.agg(
-        sum(when(col("tombstone"), 0L).otherwise(1L)),
-        sum(when(col("tombstone"), 1L).otherwise(0L))).collect()(0)
-      def l(r: org.apache.spark.sql.Row, i: Int): Long =
-        if (r.isNullAt(i)) 0L else r.getLong(i)
-
-      // lineage: per-bucket max applied seq
-      val batchLineage = winners.groupBy(col("bucket")).agg(max(col("seq")))
-        .collect().map(r => r.getInt(0).toString -> r.getLong(1)).toMap
-      val lineage = snap.lineage ++ batchLineage.map { case (b, s) =>
-        b -> math.max(s, snap.lineage.getOrElse(b, Long.MinValue))
-      }
-
-      val durMs = (System.nanoTime() - t0) / 1000000L
-      val keptFiles: List[FileEntry] =
-        snap.files.filterNot(f => touchedSet.contains(f.bucket))
-      val s2 = snap.copy(
-        snapshotId = newId, parentId = snap.snapshotId,
-        committedEpochs = (snap.committedEpochs :+ epochId).sorted,
-        files = keptFiles ++ newFiles,
-        lineage = lineage,
-        epochStats = snap.epochStats :+ EpochStat(epochId, events, upsW, delW,
-          durMs, if (durMs > 0) events * 1000.0 / durMs else 0.0),
-        liveRows = snap.liveRows - l(touchedLiveOld, 0) + l(liveDelta, 0),
-        tombstones = snap.tombstones - l(touchedLiveOld, 1) + l(liveDelta, 1))
-      LakeTable.commit(tableDir, s2, expectParent = snap.snapshotId)
-      merged.unpersist()
-      MergeResult(s2, applied = true, events, upsW, delW, durMs)
-    } finally winners.unpersist()
+        val keptFiles: List[FileEntry] =
+          snap.files.filterNot(f => touchedSet.contains(f.bucket))
+        val oldTouched = snap.files.filter(f => touchedSet.contains(f.bucket))
+        val lineage = snap.lineage ++ batchLineage.map { case (b, s) =>
+          b -> math.max(s, snap.lineage.getOrElse(b, Long.MinValue))
+        }
+        val durMs = elapsedMs
+        val s2 = snap.copy(
+          snapshotId = newId, parentId = snap.snapshotId,
+          committedEpochs = (snap.committedEpochs :+ epochId).sorted,
+          files = keptFiles ++ newFiles,
+          lineage = lineage,
+          epochStats = snap.epochStats :+ EpochStat(epochId, events, upsW, delW,
+            durMs, if (durMs > 0) events * 1000.0 / durMs else 0.0),
+          liveRows = snap.liveRows - oldTouched.map(_.live).sum + newFiles.map(_.live).sum,
+          tombstones = snap.tombstones - oldTouched.map(_.tombs).sum + newFiles.map(_.tombs).sum)
+        LakeTable.commit(tableDir, s2, expectParent = snap.snapshotId)
+        MergeResult(s2, applied = true, events, upsW, delW, durMs)
+      } finally merged.unpersist()
+    } finally keyAgg.unpersist()
   }
 }

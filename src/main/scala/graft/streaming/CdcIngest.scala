@@ -37,7 +37,7 @@ object CdcIngest {
       .schema(CdcSchema.latest)
       .option("recursiveFileLookup", "false")
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
-    val feed = reader.parquet(s"$feedDir/seg_*")
+    val feed = reader.parquet(s"$feedDir/wal")
     feed.writeStream
       .queryName(s"cdc-ingest-${java.util.UUID.randomUUID().toString.take(8)}")
       .option("checkpointLocation", checkpointDir)

@@ -13,7 +13,7 @@ import scala.jdk.CollectionConverters._
   * its indexes, SURVEY §4 "index-based access").
   */
 case class FileEntry(
-    path: String, bucket: Int, rows: Long,
+    path: String, bucket: Int, rows: Long, live: Long, tombs: Long,
     minSeq: Long, maxSeq: Long, minTsMs: Long, maxTsMs: Long)
 
 /** Per-epoch ingest ledger row (reference analog: `etl_runs`,
@@ -126,9 +126,11 @@ object LakeTable {
 
   /** Write `rows` (tableSchema + a `bucket` column) for the touched
     * buckets of snapshot `snapId`; returns manifest entries with
-    * per-bucket pruning stats. One output file per bucket via
-    * repartition-by-bucket (at 100 TB each bucket is itself a directory
-    * of many files; the entry granularity stays per-file).
+    * per-bucket pruning + accounting stats. One output file per bucket
+    * via repartition-by-bucket (at 100 TB each bucket is itself a
+    * directory of many files; the entry granularity stays per-file).
+    * Exactly two jobs over `rows` (which callers persist): the write and
+    * one per-bucket stats aggregate.
     */
   def writeBuckets(spark: SparkSession, dir: String, snapId: Long,
                    rows: DataFrame, touched: Seq[Int]): List[FileEntry] = {
@@ -139,24 +141,26 @@ object LakeTable {
       .repartition(touched.size, col("bucket"))
       .sortWithinPartitions(col("url_hash"), col("url"))
       .write.mode("overwrite").partitionBy("bucket").parquet(out)
-    // per-bucket stats for manifest pruning
+    // per-bucket stats: pruning ranges + live/tombstone accounting (the
+    // manifest carries them so later merges never rescan for them)
     val stats = rows.groupBy(col("bucket")).agg(
       count(lit(1)).as("rows"),
+      sum(when(col("tombstone"), 0L).otherwise(1L)).as("live"),
       min(col("seq")).as("minSeq"), max(col("seq")).as("maxSeq"),
       min(col("warc_ts")).cast("long").as("minTs"),
       max(col("warc_ts")).cast("long").as("maxTs"))
       .collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4) * 1000L, r.getLong(5) * 1000L)).toMap
+        r.getLong(4), r.getLong(5) * 1000L, r.getLong(6) * 1000L)).toMap
     val base = Paths.get(out)
-    val entries = Files.walk(base).iterator().asScala
+    Files.walk(base).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .map { p =>
         val relPath = Paths.get(dir).relativize(p).toString
         val bucket = p.getParent.getFileName.toString.stripPrefix("bucket=").toInt
-        val (n, mnS, mxS, mnT, mxT) = stats.getOrElse(bucket, (0L, 0L, 0L, 0L, 0L))
-        FileEntry(relPath, bucket, n, mnS, mxS, mnT, mxT)
+        val (n, live, mnS, mxS, mnT, mxT) =
+          stats.getOrElse(bucket, (0L, 0L, 0L, 0L, 0L, 0L))
+        FileEntry(relPath, bucket, n, live, n - live, mnS, mxS, mnT, mxT)
       }.toList
-    entries
   }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import graft.model.CdcSchema
+import graft.operators.{LwwCollapse, MergeInto}
+import graft.table.LakeTable
+
+/** ScalaCheck properties (SURVEY §5.4): random event permutations,
+  * duplications, and epoch splits never change the final state —
+  * idempotence + commutativity of the merge up to LWW (warc_ts, seq)
+  * order, with deterministic tie-breaks. Driven with a fixed seed so CI
+  * is reproducible.
+  */
+class LwwPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Ev(seq: Long, op: String, url: String, tsMs: Long, text: String)
+
+  val genEv: Gen[Ev] = for {
+    seq <- Gen.choose(0L, 49L)
+    op <- Gen.frequency(5 -> "U", 2 -> "I", 2 -> "D")
+    url <- Gen.oneOf("u1", "u2", "u3") // few keys → many collisions/ties
+    ts <- Gen.oneOf(1000L, 2000L, 2000L, 3000L) // forced equal-ts ties
+    txt <- Gen.alphaStr.map(_.take(6))
+  } yield Ev(seq, op, url, ts, txt)
+
+  def toDf(evs: List[Ev]) =
+    evs.map(e => (e.seq, e.op, e.url, new java.sql.Timestamp(e.tsMs),
+        null: Array[Byte], if (e.op == "D") null else e.text, "en",
+        null.asInstanceOf[java.lang.Double]))
+      .toDF(CdcSchema.latest.fieldNames: _*)
+
+  /** Reference implementation in plain Scala (not Spark). NB ties on
+    * (tsMs, seq) resolve to the same winner regardless of list order.
+    */
+  def scalaOracle(evs: List[Ev]): Map[String, Long] =
+    evs.groupBy(_.url).flatMap { case (u, es) =>
+      val w = es.maxBy(e => (e.tsMs, e.seq))
+      if (w.op == "D") None else Some(u -> w.seq)
+    }
+
+  def check(name: String)(prop: Prop): Unit = {
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(8)
+      .withInitialSeed(Seed(42L))
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("collapse == plain-Scala LWW oracle under permutation + duplication") {
+    check("collapse-oracle")(Prop.forAll(
+      Gen.listOfN(30, genEv), Gen.choose(0, 5), Gen.choose(0L, 999L)) {
+      (evs, dups, shuffleSeed) =>
+        val withDups = evs ++ evs.take(dups) // redeliveries
+        val shuffled = new scala.util.Random(shuffleSeed).shuffle(withDups)
+        val collapsed = LwwCollapse.collapse(toDf(shuffled))
+          .filter($"op" =!= "D")
+          .select($"url", $"seq")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        collapsed == scalaOracle(withDups)
+    })
+  }
+
+  test("random epoch splits converge to the same table state") {
+    check("epoch-splits")(Prop.forAll(
+      Gen.listOfN(40, genEv), Gen.choose(1, 4)) { (evs, nEpochs) =>
+        val dir = tmpDir("prop") + "/t"
+        LakeTable.create(dir, numBuckets = 4)
+        val chunks = evs.grouped(math.max(1, evs.size / nEpochs)).toSeq
+        chunks.zipWithIndex.foreach { case (chunk, e) =>
+          MergeInto.merge(spark, dir, toDf(chunk.toList), e.toLong)
+        }
+        val got = LakeTable.readLive(spark, dir)
+          .select($"url", $"seq").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toMap
+        got == scalaOracle(evs)
+    })
+  }
+}
