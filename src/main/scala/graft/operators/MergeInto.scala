@@ -71,6 +71,27 @@ object MergeInto {
       return MergeResult(snap, applied = false, 0L, 0L, 0L, 0L)
     def elapsedMs = (System.nanoTime() - t0) / 1000000L
 
+    // Spark 4.1 AQE coalesces post-shuffle partitions toward the 64MB
+    // advisory size with parallelism-first DISABLED by default — on this
+    // merge (CPU-heavy per byte, modest shuffle volumes) that collapses
+    // the winner/union aggregations to a handful of tasks and serializes
+    // the epoch (measured 4× wall-clock at 16 cores). Pin
+    // parallelism-first for the duration of the merge, restore after.
+    val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val pfPrev = spark.conf.getOption(pfKey)
+    spark.conf.set(pfKey, "true")
+    def restorePf(): Unit = pfPrev match {
+      case Some(v) => spark.conf.set(pfKey, v)
+      case None    => spark.conf.unset(pfKey)
+    }
+    val debugTiming = sys.env.contains("GRAFT_DEBUG_TIMING")
+    var tLast = t0
+    def phase(name: String): Unit = if (debugTiming) {
+      val now = System.nanoTime()
+      System.err.println(f"[merge-timing] epoch=$epochId $name ${(now - tLast) / 1e9}%.2f s")
+      tLast = now
+    }
+
     // 1. two-phase LWW winner selection. Phase A shuffles only the
     //    NARROW key columns (url, warc_ts, seq, op) — never the html/text
     //    payload: at web scale the payload is ~95% of the row, so the
@@ -101,6 +122,7 @@ object MergeInto {
         sum(when(col("_tomb"), 1L).otherwise(0L)).as("dels"),
         count(lit(1)).as("keys"),
         max(col("k.seq")).as("maxSeq")).collect()
+      phase("keyAgg+bstats")
       if (bstats.isEmpty) {
         val s2 = snap.copy(
           snapshotId = snap.snapshotId + 1, parentId = snap.snapshotId,
@@ -157,6 +179,7 @@ object MergeInto {
         // 4. write + per-bucket stats (two jobs over the cached result).
         val newId = snap.snapshotId + 1
         val newFiles = LakeTable.writeBuckets(spark, tableDir, newId, merged, touched)
+        phase("winners+union+write+stats")
 
         val keptFiles: List[FileEntry] =
           snap.files.filterNot(f => touchedSet.contains(f.bucket))
@@ -175,8 +198,9 @@ object MergeInto {
           liveRows = snap.liveRows - oldTouched.map(_.live).sum + newFiles.map(_.live).sum,
           tombstones = snap.tombstones - oldTouched.map(_.tombs).sum + newFiles.map(_.tombs).sum)
         LakeTable.commit(tableDir, s2, expectParent = snap.snapshotId)
+        phase("commit")
         MergeResult(s2, applied = true, events, upsW, delW, durMs)
       } finally merged.unpersist()
-    } finally keyAgg.unpersist()
+    } finally { keyAgg.unpersist(); restorePf() }
   }
 }

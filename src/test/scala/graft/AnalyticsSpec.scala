@@ -23,9 +23,27 @@ class AnalyticsSpec extends SparkSpec {
 
   test("every query has an oracle or a documented rows-only reason") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // engine-hash-based ops are the only sanctioned oracle-less entries
+    // engine-hash/sketch-based ops are the only sanctioned oracle-less entries
     assert(noOracle.subsetOf(Set("dd04_minhash_lsh", "dd05_simhash",
-      "s03_ann_lsh", "mm02_frame_extract")), s"missing oracle for: $noOracle")
+      "s03_ann_lsh", "mm02_frame_extract", "q31_hll_distinct")),
+      s"missing oracle for: $noOracle")
+  }
+
+  test("q31 HLL estimate within 5% of exact") {
+    SparkEntry.queries("q31_hll_distinct")(spark, sf).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05, s"$approx vs $exact")
+    }
+  }
+
+  test("mm02 frame extraction is deterministic and covers all bytes") {
+    val a = SparkEntry.queries("mm02_frame_extract")(spark, sf).collect()
+      .map(_.toString).sorted
+    val b = SparkEntry.queries("mm02_frame_extract")(spark, sf)
+      .repartition(7).collect().map(_.toString).sorted
+    assert(a === b) // partitioning-invariant
+    assert(a.nonEmpty)
   }
 
   test("flagship entry returns rows") {
