@@ -168,17 +168,11 @@ object DedupQueries {
     // is the deliverable.)
     "dd06_embedding_neardup" -> ((s, d) => {
       val e = embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("v"))
-      val dot = (a: Column, b: Column) =>
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-      val norm = (a: Column) => sqrt(aggregate(
-        transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+        .select(col("vec_id"), col("label"), col("embedding").as("v"))
       e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          round(dot(col("a.v"), col("b.v")) /
-            (norm(col("a.v")) * norm(col("b.v"))), 4).as("cos"))
+          round(graft.plans.VectorFunctions.vec_cosine(s, col("a.v"), col("b.v")), 4).as("cos"))
         .filter(col("cos") >= 0.4)
     })
   )

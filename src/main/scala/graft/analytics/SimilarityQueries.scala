@@ -7,23 +7,27 @@ import org.apache.spark.sql.expressions.Window
 /** Similarity-search operator family over `embeddings` (vec_id,
   * embedding ARRAY<FLOAT>, label): brute-force cosine top-k as the exact
   * baseline, IVF-style inverted-list assignment, and random-hyperplane
-  * LSH as the scale path. Dot products are higher-order column
-  * expressions (`zip_with` + `aggregate`) — codegen'd, no UDF.
+  * LSH as the scale path. Dot products/cosines are native codegen'd
+  * Catalyst expressions (graft.plans.VecDot/VecCosine) — no UDF, no
+  * per-element lambda interpretation.
   */
 object SimilarityQueries {
   import Tables._
   type Q = (SparkSession, String) => DataFrame
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  // dot/cosine are native codegen'd Catalyst expressions (graft.plans) —
+  // the higher-order-function formulation (aggregate ∘ zip_with) runs
+  // interpreted per element and was the measured hot spot of every
+  // similarity query. Accumulation is in double over the raw float
+  // vectors, so results equal the DuckDB CAST(... AS DOUBLE[]) oracle.
+  private def dot(s: SparkSession, a: Column, b: Column): Column =
+    graft.plans.VectorFunctions.vec_dot(s, a, b)
+  private def cosine(s: SparkSession, a: Column, b: Column): Column =
+    graft.plans.VectorFunctions.vec_cosine(s, a, b)
 
   private def vecs(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(col("vec_id"), col("label"),
-      col("embedding").cast("array<double>").as("v"))
+      col("embedding").as("v"))
 
   /** Exact brute-force top-k neighbors for a bounded query set. The
     * query side is broadcast (small by construction); the corpus side
@@ -39,7 +43,7 @@ object SimilarityQueries {
       .orderBy(col("cos").desc, col("vec_id"))
     corpus.crossJoin(broadcast(q))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 4).as("cos"))
+        round(cosine(s, col("qv"), col("v")), 4).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
@@ -57,7 +61,7 @@ object SimilarityQueries {
       .orderBy(col("cos").desc, col("centroid_id"))
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"),
-        round(cosine(col("cv"), col("v")), 4).as("cos"))
+        round(cosine(s, col("cv"), col("v")), 4).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .groupBy(col("centroid_id"))
@@ -83,7 +87,7 @@ object SimilarityQueries {
     val e = vecs(s, d)
     val sig = planes.zipWithIndex.map { case (plane, p) =>
       val planeCol = array(plane.map(lit(_)).toIndexedSeq: _*)
-      when(dot(col("v"), planeCol) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      when(dot(s, col("v"), planeCol) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     e.withColumn("bucket", sig)
   }
@@ -97,7 +101,7 @@ object SimilarityQueries {
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        round(cosine(col("x.v"), col("y.v")), 4).as("cos"))
+        round(cosine(s, col("x.v"), col("y.v")), 4).as("cos"))
       .filter(col("cos") >= minCos)
   }
 
