@@ -33,10 +33,15 @@ object DedupQueries {
   /** Candidate near-dup pairs by shared shingle + exact Jaccard.
     * Shape: explode → groupBy(shingle) bucket join → pair-count →
     * |A∩B| / (|A|+|B|-|A∩B|). The shared-shingle prefilter bounds the
-    * join to colliding docs only.
+    * join to colliding docs only. The join key is xxhash64(shingle), not
+    * the ~30-byte shingle string: 8-byte exchange keys cut shuffle bytes
+    * and comparison cost (a 2^-64 hash collision perturbs one count —
+    * immaterial against the 4-decimal Jaccard threshold).
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(docs).persist()
+    val sh = shingles(docs)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))

@@ -1,0 +1,78 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Table maintenance: orphan-file vacuum and copy-on-write compaction.
+  *
+  * Reference analog: SQLite gets this for free (single file, VACUUM);
+  * a snapshot-committed lake accumulates (a) unreachable data files from
+  * crashed epochs (the commit protocol's documented failure mode) and
+  * superseded copy-on-write snapshots, and (b) tombstone rows retained
+  * for late-update protection (SURVEY §7.4).
+  */
+object Maintenance {
+
+  /** Delete data files not referenced by the CURRENT snapshot and older
+    * than `graceMs` (protects files of an in-flight writer). Single
+    * concurrent vacuum assumed (same single-writer posture as ingest).
+    * Returns the number of files deleted.
+    */
+  def vacuum(dir: String, graceMs: Long = 3600000L): Int = {
+    val snap = LakeTable.load(dir)
+    val referenced: Set[Path] =
+      snap.files.map(f => Paths.get(dir, f.path).toAbsolutePath.normalize).toSet
+    val dataRoot = Paths.get(dir, "data")
+    if (!Files.exists(dataRoot)) return 0
+    val cutoff = System.currentTimeMillis() - graceMs
+    var deleted = 0
+    Files.walk(dataRoot).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filter(p => p.getFileName.toString.endsWith(".parquet") ||
+        p.getFileName.toString.startsWith("_"))
+      .filter(p => !referenced.contains(p.toAbsolutePath.normalize))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .foreach { p => Files.deleteIfExists(p); deleted += 1 }
+    // drop now-empty snapshot directories
+    Files.walk(dataRoot).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala
+      .filter(p => Files.isDirectory(p) && p != dataRoot)
+      .foreach { p =>
+        if (!Files.list(p).iterator().hasNext) Files.deleteIfExists(p)
+      }
+    deleted
+  }
+
+  /** Rewrite the table into one file per bucket (copy-on-write compaction),
+    * optionally expiring tombstones whose warc_ts predates
+    * `tombstoneHorizonMs` (epoch millis). Expired tombstones lose their
+    * late-update protection — only expire beyond the feed's max possible
+    * lateness, exactly like Iceberg's delete-file expiry. Logical live
+    * state is unchanged (asserted in MaintenanceSpec). Commits a new
+    * snapshot; pair with `vacuum` to reclaim the superseded files.
+    */
+  def compact(spark: SparkSession, dir: String,
+              tombstoneHorizonMs: Long = Long.MinValue): Snapshot = {
+    val snap = LakeTable.load(dir)
+    val rows = LakeTable.read(spark, dir, snap)
+      .filter(!col("tombstone") ||
+        col("warc_ts").cast("long") * 1000L >= tombstoneHorizonMs)
+      .withColumn("bucket", pmod(col("url_hash"), lit(snap.numBuckets)).cast("int"))
+    rows.persist()
+    try {
+      val touched = rows.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      val newId = snap.snapshotId + 1
+      val newFiles = LakeTable.writeBuckets(spark, dir, newId, rows, touched)
+      val s2 = snap.copy(
+        snapshotId = newId, parentId = snap.snapshotId,
+        files = newFiles,
+        liveRows = newFiles.map(_.live).sum,
+        tombstones = newFiles.map(_.tombs).sum)
+      LakeTable.commit(dir, s2, expectParent = snap.snapshotId)
+      s2
+    } finally rows.unpersist()
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.feedgen.FeedGen
+import graft.operators.MergeInto
+import graft.table.{LakeTable, Maintenance}
+
+/** Vacuum + compaction preserve logical state; orphans and superseded
+  * snapshots are reclaimed; tombstone expiry honors its horizon.
+  */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  val cfg = FeedGen.Config(seed = 9L, n = 4000L, nDomains = 40,
+    pathsPerDomain = 6, segments = 2)
+
+  def state(dir: String): Array[String] =
+    LakeTable.readLive(spark, dir)
+      .select($"url", $"seq", $"text").collect().map(_.toString).sorted
+
+  test("compact to one file per bucket + vacuum reclaims superseded files; state unchanged") {
+    val dir = tmpDir("maint") + "/t"
+    LakeTable.create(dir, numBuckets = 8)
+    val feed = FeedGen.events(spark, cfg).toDF()
+    (0 until 4).foreach { e =>
+      MergeInto.merge(spark, dir,
+        feed.filter($"seq" >= e * 1000L && $"seq" < (e + 1) * 1000L), e.toLong)
+    }
+    val before = state(dir)
+    val snapBefore = LakeTable.load(dir)
+
+    val s2 = Maintenance.compact(spark, dir)
+    assert(state(dir) === before)
+    assert(s2.files.size <= snapBefore.numBuckets)
+    assert(s2.liveRows === snapBefore.liveRows)
+    assert(s2.committedEpochs === snapBefore.committedEpochs) // ledger preserved
+
+    // vacuum with zero grace removes every superseded/orphan file
+    val deleted = Maintenance.vacuum(dir, graceMs = 0L)
+    assert(deleted > 0)
+    assert(state(dir) === before) // current snapshot untouched
+    // every referenced file still exists
+    val s3 = LakeTable.load(dir)
+    s3.files.foreach { f =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, f.path)))
+    }
+  }
+
+  test("tombstone expiry drops only tombstones older than the horizon") {
+    val dir = tmpDir("maint-ts") + "/t"
+    LakeTable.create(dir, numBuckets = 4)
+    def ev(seq: Long, op: String, url: String, ts: Long) =
+      (seq, op, url, new java.sql.Timestamp(ts), null: Array[Byte],
+        if (op == "D") null else s"t$seq", "en", null.asInstanceOf[java.lang.Double])
+    val cols = graft.model.CdcSchema.latest.fieldNames
+    val b = Seq(
+      ev(1, "D", "https://a/1", 1000L),     // old tombstone (expired)
+      ev(2, "D", "https://a/2", 9000000L),  // recent tombstone (kept)
+      ev(3, "U", "https://a/3", 5000L)).toDF(cols: _*)
+    MergeInto.merge(spark, dir, b, 0L)
+    assert(LakeTable.load(dir).tombstones === 2L)
+
+    Maintenance.compact(spark, dir, tombstoneHorizonMs = 1000000L)
+    val snap = LakeTable.load(dir)
+    assert(snap.tombstones === 1L)
+    assert(snap.liveRows === 1L)
+    // the kept tombstone still guards against a late update
+    val late = Seq(ev(0, "U", "https://a/2", 8000000L)).toDF(cols: _*)
+    MergeInto.merge(spark, dir, late, 1L)
+    assert(LakeTable.readLive(spark, dir).filter($"url" === "https://a/2").count() === 0L)
+  }
+}
