@@ -10,7 +10,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val ingestN = sys.env.getOrElse("SPARK_GRAFT_INGEST_N", "1000000").toLong
+    // 4M events ≈ the smallest size where per-epoch fixed costs (stream
+    // start, commit, collects) stop dominating the events/sec number
+    val ingestN = sys.env.getOrElse("SPARK_GRAFT_INGEST_N", "4000000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

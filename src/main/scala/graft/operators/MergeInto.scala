@@ -113,6 +113,10 @@ object MergeInto {
       .agg(max(ordKey).as("k"),
         max_by(col("tombstone"), ordKey).as("_tomb"),
         count(lit(1)).as("_n_events"),
+        // high-watermark over ALL the url's events, not just the LWW
+        // winner (an out-of-order winner can carry a smaller seq than a
+        // late event it beat on warc_ts — lineage must still cover it)
+        max(col("seq")).as("_max_seq"),
         first(col("bucket")).as("_bucket"))
     keyAgg.persist()
     try {
@@ -121,7 +125,7 @@ object MergeInto {
         sum(col("_n_events")).as("events"),
         sum(when(col("_tomb"), 1L).otherwise(0L)).as("dels"),
         count(lit(1)).as("keys"),
-        max(col("k.seq")).as("maxSeq")).collect()
+        max(col("_max_seq")).as("maxSeq")).collect()
       phase("keyAgg+bstats")
       if (bstats.isEmpty) {
         val s2 = snap.copy(
