@@ -23,7 +23,7 @@ import graft.table.LakeTable
   */
 object CdcIngest {
 
-  /** Start the ingest. `feedDir` contains WAL segments `seg_*` (mixed
+  /** Start the ingest. `feedDir/wal` contains parquet segment files (mixed
     * schema versions welcome: the source reads with the latest schema and
     * `MergeInto.alignToLatest` resolves columns by name — additive
     * evolution mid-stream).
