@@ -48,7 +48,7 @@ object Bench {
     val base = java.nio.file.Files.createTempDirectory("graft-bench").toString
     val ing = graft.bench.IngestBenchCore.run(spark, ingestN, cpus, base)
 
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_events_per_sec":${ing.backfillEps.round},"ingest_tail_events_per_sec":${ing.tailEps.round},"ingest_events":${ing.events},"ingest_backfill_sec":${f"${ing.backfillSec}%.2f"},"cores":$cpus}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_events_per_sec":${ing.backfillEps.round},"ingest_tail_events_per_sec":${ing.tailEps.round},"ingest_tail_small_sec":${f"${ing.tailSmallSec}%.2f"},"ingest_tail_small_mor":${ing.tailSmallMor},"ingest_events":${ing.events},"ingest_backfill_sec":${f"${ing.backfillSec}%.2f"},"cores":$cpus}""")
     spark.stop()
   }
 }

@@ -16,7 +16,8 @@ object IngestBenchCore {
   final case class Result(
       events: Long, cores: Int,
       feedgenSec: Double, backfillSec: Double, tailSec: Double,
-      backfillEps: Double, tailEps: Double, liveRows: Long)
+      backfillEps: Double, tailEps: Double, liveRows: Long,
+      tailSmallSec: Double, tailSmallEps: Double, tailSmallMor: Boolean)
 
   def run(spark: SparkSession, n: Long, cores: Int, baseDir: String): Result = {
     val feedDir = s"$baseDir/feed"
@@ -45,9 +46,24 @@ object IngestBenchCore {
     CdcIngest.runAvailableNow(spark, feedDir, tableDir, ckptDir, numBuckets = 64)
     val tTail = (System.nanoTime() - t2) / 1e9
 
+    // small tail epoch: the latency-sensitive path. A trickle of changes
+    // against the full table — Auto picks merge-on-read here, so the
+    // epoch cost is O(batch), independent of table size (a CoW engine
+    // pays a bucket rewrite ~64× the changed bytes on this shape).
+    val smallN = math.max(n / 256, 1L)
+    val cfg3 = cfg.copy(n = n + tailN + smallN)
+    val extra2 = spark.range(n + tailN, n + tailN + smallN, 1, cores)
+      .map(i => FeedGen.event(cfg3, i)).toDF()
+    FeedGen.appendSegment(spark, feedDir, extra2, "tail2")
+    val t3 = System.nanoTime()
+    CdcIngest.runAvailableNow(spark, feedDir, tableDir, ckptDir, numBuckets = 64)
+    val tSmall = (System.nanoTime() - t3) / 1e9
+
     val snap = LakeTable.load(tableDir)
+    val usedMor = snap.files.exists(_.kind == "delta")
     Result(n, cores, tGen, tBackfill, tTail,
-      n / tBackfill, tailN / tTail, snap.liveRows)
+      n / tBackfill, tailN / tTail, snap.liveRows,
+      tSmall, smallN / tSmall, usedMor)
   }
 }
 
@@ -81,7 +97,7 @@ object IngestBench {
     val base = java.nio.file.Files.createTempDirectory("graft-ibench").toString
     val r = IngestBenchCore.run(spark, n, cores, base)
     println(
-      s"""{"metric":"ingest_events_per_sec","value":${r.backfillEps.round},"unit":"events/sec","cores":${r.cores},"events":${r.events},"feedgen_sec":${f"${r.feedgenSec}%.2f"},"backfill_sec":${f"${r.backfillSec}%.2f"},"tail_sec":${f"${r.tailSec}%.2f"},"tail_events_per_sec":${r.tailEps.round},"live_rows":${r.liveRows}}""")
+      s"""{"metric":"ingest_events_per_sec","value":${r.backfillEps.round},"unit":"events/sec","cores":${r.cores},"events":${r.events},"feedgen_sec":${f"${r.feedgenSec}%.2f"},"backfill_sec":${f"${r.backfillSec}%.2f"},"tail_sec":${f"${r.tailSec}%.2f"},"tail_events_per_sec":${r.tailEps.round},"tail_small_sec":${f"${r.tailSmallSec}%.2f"},"tail_small_events_per_sec":${r.tailSmallEps.round},"tail_small_mor":${r.tailSmallMor},"live_rows":${r.liveRows}}""")
     spark.stop()
   }
 }

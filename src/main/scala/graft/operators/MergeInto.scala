@@ -37,6 +37,39 @@ import graft.table.{EpochStat, FileEntry, LakeTable, Snapshot}
   */
 object MergeInto {
 
+  /** Write-path strategy for one epoch (Iceberg-v2's copy-on-write vs
+    * merge-on-read, north_star).
+    *
+    *  - [[CopyOnWrite]]: read the touched buckets, union-collapse with
+    *    the batch winners, rewrite those buckets. Read-optimal; write
+    *    cost O(touchedBucketBytes) per epoch.
+    *  - [[MergeOnRead]]: append the batch winners as per-bucket DELTA
+    *    files (equality-delete/upsert overlay) without reading the
+    *    target at all. Write cost O(batchWinners) — the small-epoch tail
+    *    path; readers LWW-collapse base∪delta (LakeTable.readMerged).
+    *  - [[Auto]]: MergeOnRead when the winner set is small relative to
+    *    the touched buckets' current rows AND no touched bucket has hit
+    *    its delta-file cap; CopyOnWrite otherwise. A CoW epoch over a
+    *    delta-carrying bucket folds the overlay in (minor compaction for
+    *    free — the union-collapse is the same aggregate either way).
+    */
+  sealed trait MergeMode
+  case object CopyOnWrite extends MergeMode
+  case object MergeOnRead extends MergeMode
+  case object Auto extends MergeMode
+
+  /** Auto policy: MoR when winnerKeys < this fraction of the touched
+    * buckets' existing rows (i.e. the epoch would rewrite ≥5× the bytes
+    * it changes).
+    */
+  val MorWinnerFraction: Double = 0.2
+
+  /** Auto policy: once a bucket accumulates this many delta files, the
+    * next epoch touching it goes copy-on-write, folding the overlay into
+    * a fresh base — bounds the read-side merge tax at scale.
+    */
+  val MaxDeltasPerBucket: Int = 8
+
   final case class MergeResult(
       snapshot: Snapshot, applied: Boolean,
       events: Long, upserts: Long, deletes: Long, durationMs: Long)
@@ -64,7 +97,7 @@ object MergeInto {
   val BroadcastKeyLimit: Long = 4000000L
 
   def merge(spark: SparkSession, tableDir: String, batchIn: DataFrame,
-            epochId: Long): MergeResult = {
+            epochId: Long, mode: MergeMode = Auto): MergeResult = {
     val t0 = System.nanoTime()
     val snap = LakeTable.load(tableDir)
     if (snap.committedEpochs.contains(epochId))
@@ -143,6 +176,18 @@ object MergeInto {
       val upsW = nKeys - delW
       val batchLineage = bstats.map(r => r.getInt(0).toString -> r.getLong(4)).toMap
 
+      // Write-path choice (manifest stats only — zero extra jobs).
+      val touchedFiles = snap.files.filter(f => touchedSet.contains(f.bucket))
+      val targetRows = touchedFiles.map(_.rows).sum
+      val deltaCapHit = touchedFiles.filter(_.kind == "delta")
+        .groupBy(_.bucket).values.exists(_.size >= MaxDeltasPerBucket)
+      val useMor = mode match {
+        case MergeOnRead => true
+        case CopyOnWrite => false
+        case Auto => targetRows > 0 && !deltaCapHit &&
+          nKeys.toDouble < MorWinnerFraction * targetRows.toDouble
+      }
+
       // Phase B: materialize winner rows. Broadcast path when the key
       // set fits (≤ BroadcastKeyLimit urls): winner keys hash-joined
       // map-side against the batch, then a final per-url collapse over
@@ -167,10 +212,45 @@ object MergeInto {
             .select(col("w.*"))
         }
 
+      val lineage = snap.lineage ++ batchLineage.map { case (b, s) =>
+        b -> math.max(s, snap.lineage.getOrElse(b, Long.MinValue))
+      }
+
+      if (useMor) {
+        // 3-MoR. Append winners as per-bucket delta files — the target is
+        //    never read, so a tail epoch updating 10^4 urls on a 100 TB
+        //    table costs O(winners) write + one manifest commit. liveRows/
+        //    tombstones become upper bounds (a delta upsert may shadow a
+        //    base row) until the next CoW fold-in or compaction restores
+        //    exact counts; per-FILE stats stay exact throughout.
+        winners.persist()
+        try {
+          val newId = snap.snapshotId + 1
+          val newFiles = LakeTable.writeBuckets(spark, tableDir, newId,
+            winners, touched, suffix = "-delta", kind = "delta")
+          phase("winners+deltaWrite+stats")
+          val durMs = elapsedMs
+          val s2 = snap.copy(
+            snapshotId = newId, parentId = snap.snapshotId,
+            committedEpochs = (snap.committedEpochs :+ epochId).sorted,
+            files = snap.files ++ newFiles,
+            lineage = lineage,
+            epochStats = snap.epochStats :+ EpochStat(epochId, events, upsW,
+              delW, durMs, if (durMs > 0) events * 1000.0 / durMs else 0.0),
+            liveRows = snap.liveRows + newFiles.map(_.live).sum,
+            tombstones = snap.tombstones + newFiles.map(_.tombs).sum)
+          LakeTable.commit(tableDir, s2, expectParent = snap.snapshotId)
+          phase("commit")
+          return MergeResult(s2, applied = true, events, upsW, delW, durMs)
+        } finally winners.unpersist()
+      }
+
       // 3. union-collapse resolution over pruned target buckets: per url
       //    keep max(warc_ts, seq) of {table row} ∪ {batch winner}.
       //    Tombstones stay as rows so an update older than a delete
-      //    cannot resurrect the url.
+      //    cannot resurrect the url. Delta overlays on the touched
+      //    buckets enter the same collapse and their files are dropped
+      //    from the manifest below — a CoW epoch IS the overlay fold-in.
       val target = LakeTable.read(spark, tableDir, snap, Some(touchedSet))
         .withColumn("bucket", pmod(col("url_hash"), lit(snap.numBuckets)).cast("int"))
       val tCols = target.columns.map(col).toIndexedSeq
@@ -188,9 +268,6 @@ object MergeInto {
         val keptFiles: List[FileEntry] =
           snap.files.filterNot(f => touchedSet.contains(f.bucket))
         val oldTouched = snap.files.filter(f => touchedSet.contains(f.bucket))
-        val lineage = snap.lineage ++ batchLineage.map { case (b, s) =>
-          b -> math.max(s, snap.lineage.getOrElse(b, Long.MinValue))
-        }
         val durMs = elapsedMs
         val s2 = snap.copy(
           snapshotId = newId, parentId = snap.snapshotId,

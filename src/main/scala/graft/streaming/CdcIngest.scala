@@ -31,7 +31,8 @@ object CdcIngest {
   def start(spark: SparkSession, feedDir: String, tableDir: String,
             checkpointDir: String, numBuckets: Int = 32,
             maxFilesPerTrigger: Option[Int] = None,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            mode: MergeInto.MergeMode = MergeInto.Auto): StreamingQuery = {
     if (!LakeTable.exists(tableDir)) LakeTable.create(tableDir, numBuckets)
     var reader = spark.readStream
       .schema(CdcSchema.latest)
@@ -43,7 +44,7 @@ object CdcIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epochId: Long) =>
-        MergeInto.merge(batch.sparkSession, tableDir, batch, epochId)
+        MergeInto.merge(batch.sparkSession, tableDir, batch, epochId, mode)
         ()
       }
       .start()
@@ -52,9 +53,10 @@ object CdcIngest {
   /** Drain everything currently in the feed and stop (backfill mode). */
   def runAvailableNow(spark: SparkSession, feedDir: String, tableDir: String,
                       checkpointDir: String, numBuckets: Int = 32,
-                      maxFilesPerTrigger: Option[Int] = None): Unit = {
+                      maxFilesPerTrigger: Option[Int] = None,
+                      mode: MergeInto.MergeMode = MergeInto.Auto): Unit = {
     val q = start(spark, feedDir, tableDir, checkpointDir, numBuckets,
-      maxFilesPerTrigger, Trigger.AvailableNow())
+      maxFilesPerTrigger, Trigger.AvailableNow(), mode)
     q.awaitTermination()
   }
 }

@@ -11,10 +11,17 @@ import scala.jdk.CollectionConverters._
 /** One parquet data file tracked by a snapshot, with pruning stats
   * (Iceberg-v2-style manifest entry; reference analog: the SQLite file +
   * its indexes, SURVEY §4 "index-based access").
+  *
+  * `kind` = "base" (copy-on-write bucket file: at most one row per url)
+  * or "delta" (merge-on-read overlay: per-epoch LWW winners appended
+  * without rewriting the bucket — Iceberg-v2 equality-delete/upsert
+  * analog; a delta row with tombstone=true is an equality delete on
+  * url). Readers LWW-collapse base∪delta per bucket at read time.
   */
 case class FileEntry(
     path: String, bucket: Int, rows: Long, live: Long, tombs: Long,
-    minSeq: Long, maxSeq: Long, minTsMs: Long, maxTsMs: Long)
+    minSeq: Long, maxSeq: Long, minTsMs: Long, maxTsMs: Long,
+    kind: String = "base")
 
 /** Per-epoch ingest ledger row (reference analog: `etl_runs`,
   * /root/reference/convoetl/db/etl.py:15–55 — start/end ids, counts,
@@ -114,10 +121,43 @@ object LakeTable {
       .parquet(files.map(f => s"$dir/${f.path}"): _*)
   }
 
-  /** The user-facing latest-state view: live rows only. */
+  private def readFiles(spark: SparkSession, dir: String,
+                        files: Seq[FileEntry]): DataFrame =
+    if (files.isEmpty) emptyTable(spark)
+    else spark.read.schema(CdcSchema.tableSchema)
+      .parquet(files.map(f => s"$dir/${f.path}"): _*)
+
+  /** Merged view: LWW-collapse base∪delta rows to one row per url —
+    * tombstone winners retained (callers filter). The collapse (a
+    * shuffle) runs ONLY over buckets that carry delta files; clean
+    * copy-on-write buckets stream through shuffle-free. That makes the
+    * merge-on-read tax proportional to the un-compacted overlay, not the
+    * table: a 100 TB table with deltas on 3 of 4096 buckets pays the
+    * read-side aggregate on 3 buckets.
+    */
+  def readMerged(spark: SparkSession, dir: String, snap: Snapshot,
+                 buckets: Option[Set[Int]] = None): DataFrame = {
+    val sel = buckets match {
+      case Some(bs) => snap.files.filter(f => bs.contains(f.bucket))
+      case None     => snap.files
+    }
+    val dirtyBuckets = sel.filter(_.kind == "delta").map(_.bucket).toSet
+    if (dirtyBuckets.isEmpty) return readFiles(spark, dir, sel)
+    val (dirty, clean) = sel.partition(f => dirtyBuckets.contains(f.bucket))
+    val cols = CdcSchema.tableSchema.fieldNames.map(col).toIndexedSeq
+    val dirtyDf = readFiles(spark, dir, dirty)
+      .groupBy(col("url"))
+      .agg(max_by(struct(cols: _*), struct(col("warc_ts"), col("seq"))).as("w"))
+      .select(col("w.*"))
+    readFiles(spark, dir, clean).unionByName(dirtyDf)
+  }
+
+  /** The user-facing latest-state view: live rows only (delta overlays
+    * resolved).
+    */
   def readLive(spark: SparkSession, dir: String): DataFrame = {
     val snap = load(dir)
-    read(spark, dir, snap).filter(!col("tombstone"))
+    readMerged(spark, dir, snap).filter(!col("tombstone"))
       .drop("tombstone")
   }
 
@@ -133,9 +173,10 @@ object LakeTable {
     * one per-bucket stats aggregate.
     */
   def writeBuckets(spark: SparkSession, dir: String, snapId: Long,
-                   rows: DataFrame, touched: Seq[Int]): List[FileEntry] = {
+                   rows: DataFrame, touched: Seq[Int],
+                   suffix: String = "", kind: String = "base"): List[FileEntry] = {
     if (touched.isEmpty) return Nil
-    val rel = s"data/s$snapId"
+    val rel = s"data/s$snapId$suffix"
     val out = s"$dir/$rel"
     rows
       .repartition(touched.size, col("bucket"))
@@ -160,7 +201,7 @@ object LakeTable {
         val bucket = p.getParent.getFileName.toString.stripPrefix("bucket=").toInt
         val (n, live, mnS, mxS, mnT, mxT) =
           stats.getOrElse(bucket, (0L, 0L, 0L, 0L, 0L, 0L))
-        FileEntry(relPath, bucket, n, live, n - live, mnS, mxS, mnT, mxT)
+        FileEntry(relPath, bucket, n, live, n - live, mnS, mxS, mnT, mxT, kind)
       }.toList
   }
 }

@@ -56,7 +56,12 @@ object Maintenance {
   def compact(spark: SparkSession, dir: String,
               tombstoneHorizonMs: Long = Long.MinValue): Snapshot = {
     val snap = LakeTable.load(dir)
-    val rows = LakeTable.read(spark, dir, snap)
+    // Delta overlays must be LWW-resolved BEFORE the tombstone-horizon
+    // filter: dropping an expired delta tombstone first would resurrect
+    // the older base row it shadows. readMerged collapses only buckets
+    // that carry deltas, so a pure copy-on-write table compacts
+    // shuffle-free.
+    val rows = LakeTable.readMerged(spark, dir, snap)
       .filter(!col("tombstone") ||
         col("warc_ts").cast("long") * 1000L >= tombstoneHorizonMs)
       .withColumn("bucket", pmod(col("url_hash"), lit(snap.numBuckets)).cast("int"))
