@@ -280,7 +280,28 @@ object CoreQueries {
       .groupBy(col("c_mktsegment"))
       .agg(count(col("o_orderkey")).as("n_f_orders"),
         count(lit(1)).as("n_rows"),
-        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total")))
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total"))),
+
+    // Batch sessionization: lag-gap flag + running sum = session number,
+    // then per-session rollup — the batch analog of the streaming
+    // flatMapGroupsWithState sessionizer (streaming.Sessionize); the
+    // reference's per-user response-gap window made stateful
+    // (queries.py:41–42 LAG OVER PARTITION BY user_id).
+    "q33_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val isNew = when(lag(col("ts"), 1).over(w).isNull
+          .or(gapMs(lag(col("ts"), 1).over(w), col("ts")) > 1800000.0), 1L)
+        .otherwise(0L)
+      events(s, d)
+        .withColumn("session_no", sum(isNew).over(w))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          // integer millis, not rounded minutes: a /60000-then-round(4)
+          // value can land on a .00005 tie that Spark (HALF_UP) and
+          // DuckDB (half-even) round apart
+          gapMs(min(col("ts")), max(col("ts"))).cast("long").as("span_ms"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -419,6 +440,23 @@ object CoreQueries {
         | round(coalesce(sum(o_totalprice), 0.0), 2) AS total
         |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
         |  ON c_custkey = o.o_custkey
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "q33_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('millisecond', lag(ts) OVER w, ts) > 1800000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        |  FROM g
+        |)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |  date_diff('millisecond', min(ts), max(ts)) AS span_ms
+        |FROM s GROUP BY 1,2""".stripMargin
   )
 }

@@ -47,8 +47,18 @@ object ScalingBench {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(feedDir, "wal")))
       FeedGen.writeSegments(spark, cfg, feedDir)
 
+    // Trial table/checkpoint dirs live on tmpfs for the same reason the
+    // shuffle dirs do: on a real cluster the sink (object store / HDFS)
+    // aggregate write bandwidth scales with node count, while this VM
+    // has ONE virtio disk shared by both core counts — writing the
+    // output table to it would measure the disk, not the engine.
+    val trialBase = java.nio.file.Paths.get(
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-scale-trials"
+      else System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createDirectories(trialBase)
+
     val times = (1 to trials).map { t =>
-      val base = java.nio.file.Files.createTempDirectory(s"graft-scale-$t").toString
+      val base = java.nio.file.Files.createTempDirectory(trialBase, s"graft-scale-$t").toString
       val t0 = System.nanoTime()
       CdcIngest.runAvailableNow(spark, feedDir, s"$base/table", s"$base/ckpt",
         numBuckets = 64)

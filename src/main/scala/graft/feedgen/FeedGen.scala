@@ -172,6 +172,7 @@ object FeedGen {
   private def moveParts(tmp: String, wal: String, tag: String): List[String] = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
+    Files.createDirectories(Paths.get(wal))
     val parts = Files.list(Paths.get(tmp)).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toList.sortBy(_.toString)
     val moved = parts.zipWithIndex.map { case (p, i) =>
