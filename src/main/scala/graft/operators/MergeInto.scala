@@ -97,7 +97,8 @@ object MergeInto {
   val BroadcastKeyLimit: Long = 4000000L
 
   def merge(spark: SparkSession, tableDir: String, batchIn: DataFrame,
-            epochId: Long, mode: MergeMode = Auto): MergeResult = {
+            epochId: Long, mode: MergeMode = Auto,
+            broadcastKeyLimit: Long = BroadcastKeyLimit): MergeResult = {
     val t0 = System.nanoTime()
     val snap = LakeTable.load(tableDir)
     if (snap.committedEpochs.contains(epochId))
@@ -208,7 +209,7 @@ object MergeInto {
       // full-payload max_by shuffle.
       val payload = struct(rows.columns.map(col).toIndexedSeq: _*)
       val winners =
-        if (nKeys <= BroadcastKeyLimit) {
+        if (nKeys <= broadcastKeyLimit) {
           val keys = keyAgg.select(col("url"), col("_w_seq"))
           rows.join(broadcast(keys),
               rows("url") === keys("url") && rows("seq") === col("_w_seq"))
@@ -217,7 +218,19 @@ object MergeInto {
             .agg(max_by(payload, ordKey).as("w"))
             .select(col("w.*"))
         } else {
-          rows.groupBy(col("url"))
+          // Fallback above the broadcast ceiling (e.g. a 10^10-event
+          // backfill epoch): shuffle the payload ONCE by url and
+          // hash-join the winner keys per partition. The seq match is
+          // written as a residual predicate (not an equi key) so the
+          // join partitions on url alone and the following per-url dup
+          // collapse reuses that partitioning — one payload exchange
+          // total, no payload sort-aggregate over the raw batch.
+          val keys = keyAgg.select(col("url").as("_k_url"), col("_w_seq"))
+          rows.join(keys.hint("SHUFFLE_HASH"),
+              rows("url") === col("_k_url") &&
+                (rows("seq") - col("_w_seq") === 0L))
+            .drop("_k_url", "_w_seq")
+            .groupBy(col("url"))
             .agg(max_by(payload, ordKey).as("w"))
             .select(col("w.*"))
         }

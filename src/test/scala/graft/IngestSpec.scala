@@ -41,6 +41,21 @@ class IngestSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("fallback merge path (winner keys above broadcast ceiling) == broadcast path") {
+    val feedDir = tmpDir("feed-fb")
+    FeedGen.writeSegments(spark, cfg, feedDir)
+    val feed = FeedGen.readFeed(spark, feedDir)
+    val t1 = tmpDir("table-bc"); val t2 = tmpDir("table-fb")
+    LakeTable.create(t1, numBuckets = 16); LakeTable.create(t2, numBuckets = 16)
+    MergeInto.merge(spark, t1, feed.filter($"seq" < 4000), 0L)
+    MergeInto.merge(spark, t1, feed.filter($"seq" >= 4000), 1L)
+    // broadcastKeyLimit = 0 forces the shuffled-hash-join fallback
+    MergeInto.merge(spark, t2, feed.filter($"seq" < 4000), 0L, broadcastKeyLimit = 0L)
+    MergeInto.merge(spark, t2, feed.filter($"seq" >= 4000), 1L, broadcastKeyLimit = 0L)
+    assert(sortedState(LakeTable.readLive(spark, t1)) ===
+      sortedState(LakeTable.readLive(spark, t2)))
+  }
+
   test("batch merge over 4 epochs matches naive LWW oracle; retry idempotent") {
     val feedDir = tmpDir("feed")
     val tableDir = tmpDir("table")
