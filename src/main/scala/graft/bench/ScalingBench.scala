@@ -21,8 +21,12 @@ object ScalingBench {
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
     val feedDir = sys.env.getOrElse("SPARK_GRAFT_FEED_DIR",
       s"/tmp/graft-scaling-feed-$n")
+    // SPARK_GRAFT_MASTER overrides the master URL — e.g.
+    // local-cluster[2,4,8192] vs local-cluster[8,4,8192] gives the
+    // north-rule's N vs 4N EXECUTORS as separate JVMs (own heap/GC),
+    // the closest sandbox stand-in for two real cluster sizes.
     val spark = SparkSession.builder()
-      .master(s"local[$cores]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]"))
       .appName("graft-scaling-bench")
       .config("spark.sql.shuffle.partitions", cores * 2)
       .config("spark.sql.adaptive.enabled", "true")
@@ -40,10 +44,12 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // 64 segment files ⇒ scan-task granularity ≥ 4 waves at 16 cores
-    // (independent of the core count under test — same input layout)
+    // segment count scales with n (~1M events ≈ 73 MB per file) so scan
+    // tasks stay fine-grained at the largest core count under test —
+    // same input layout for every size being compared
+    val nSegments = math.max(64L, n / 1000000L).toInt
     val cfg = FeedGen.Config(seed = 42L, n = n, nDomains = 2000,
-      pathsPerDomain = 100, evolveAt = n / 2, segments = 64)
+      pathsPerDomain = 100, evolveAt = n / 2, segments = nSegments)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(feedDir, "wal")))
       FeedGen.writeSegments(spark, cfg, feedDir)
 

@@ -133,7 +133,15 @@ object LakeTable {
     * copy-on-write buckets stream through shuffle-free. That makes the
     * merge-on-read tax proportional to the un-compacted overlay, not the
     * table: a 100 TB table with deltas on 3 of 4096 buckets pays the
-    * read-side aggregate on 3 buckets.
+    * read-side collapse on 3 buckets.
+    *
+    * Plan shape (same reasoning as the MergeInto fallback): the winner
+    * per url is found on a NARROW (url, warc_ts, seq) scan with the
+    * primitive-buffer lww_seq HashAggregate, then the payload is
+    * hash-joined back on (url, seq-residual) — payload bytes cross one
+    * url-partitioned exchange and are never sort-aggregated. (url, seq)
+    * is unique across base∪delta: each WAL position is applied once, and
+    * each epoch's winners are already per-url deduped.
     */
   def readMerged(spark: SparkSession, dir: String, snap: Snapshot,
                  buckets: Option[Set[Int]] = None): DataFrame = {
@@ -144,11 +152,16 @@ object LakeTable {
     val dirtyBuckets = sel.filter(_.kind == "delta").map(_.bucket).toSet
     if (dirtyBuckets.isEmpty) return readFiles(spark, dir, sel)
     val (dirty, clean) = sel.partition(f => dirtyBuckets.contains(f.bucket))
-    val cols = CdcSchema.tableSchema.fieldNames.map(col).toIndexedSeq
-    val dirtyDf = readFiles(spark, dir, dirty)
+    val keys = readFiles(spark, dir, dirty)
+      .select(col("url"), col("warc_ts"), col("seq"))
       .groupBy(col("url"))
-      .agg(max_by(struct(cols: _*), struct(col("warc_ts"), col("seq"))).as("w"))
-      .select(col("w.*"))
+      .agg(graft.plans.LwwFunctions.lww_seq(spark, col("warc_ts"), col("seq"))
+        .as("_w_seq"))
+      .select(col("url").as("_k_url"), col("_w_seq"))
+    val dirtyDf = readFiles(spark, dir, dirty)
+      .join(keys.hint("SHUFFLE_HASH"),
+        col("url") === col("_k_url") && (col("seq") - col("_w_seq") === 0L))
+      .drop("_k_url", "_w_seq")
     readFiles(spark, dir, clean).unionByName(dirtyDf)
   }
 
