@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float/double arrays"),
       (exprs: Seq[Expression]) => VecCosine(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("lww_seq"),
+      info("lww_seq",
+        "lww_seq(ts, seq) - seq of the last-writer-wins row: max (ts, seq) lexicographically"),
+      (exprs: Seq[Expression]) => LwwSeq(exprs(0), exprs(1))))
   }
 }
