@@ -91,10 +91,17 @@ object MergeInto {
   private def ordKey = struct(col("warc_ts"), col("seq"))
 
   /** Above this many distinct urls per epoch the winner-key set is no
-    * longer broadcastable and the merge falls back to the full-payload
-    * shuffle. ~4M keys × ~60B ≈ 240MB broadcast ceiling.
+    * longer broadcastable and the merge falls back to the salted
+    * shuffled-hash join. ~4M keys × ~50B ≈ 200MB broadcast ceiling.
     */
   val BroadcastKeyLimit: Long = 4000000L
+
+  /** Salt factor for the fallback join's shuffle key: a hot url's
+    * payload spreads over this many partitions (pmod(seq, S) on both
+    * sides — equal seqs salt identically, so winners always meet their
+    * key).
+    */
+  val FallbackSaltFactor: Int = 16
 
   def merge(spark: SparkSession, tableDir: String, batchIn: DataFrame,
             epochId: Long, mode: MergeMode = Auto,
@@ -219,17 +226,26 @@ object MergeInto {
             .select(col("w.*"))
         } else {
           // Fallback above the broadcast ceiling (e.g. a 10^10-event
-          // backfill epoch): shuffle the payload ONCE by url and
-          // hash-join the winner keys per partition. The seq match is
-          // written as a residual predicate (not an equi key) so the
-          // join partitions on url alone and the following per-url dup
-          // collapse reuses that partitioning — one payload exchange
-          // total, no payload sort-aggregate over the raw batch.
-          val keys = keyAgg.select(col("url").as("_k_url"), col("_w_seq"))
-          rows.join(keys.hint("SHUFFLE_HASH"),
-              rows("url") === col("_k_url") &&
-                (rows("seq") - col("_w_seq") === 0L))
-            .drop("_k_url", "_w_seq")
+          // backfill epoch): shuffle the payload ONCE and hash-join the
+          // winner keys per partition — no payload sort-aggregate over
+          // the raw batch. The shuffle key is SALTED: (url, pmod(seq,S))
+          // on the event side, (url, pmod(_w_seq,S)) on the key side.
+          // A crawl-hot url (Zipf head) spreads its payload uniformly
+          // over S partitions instead of skewing one (north_rule's
+          // explicit hot-key salting; AQE skew handling is unavailable
+          // inside a streaming foreachBatch). Correct because the only
+          // row that can match carries seq == _w_seq, and equal seqs
+          // salt identically; rows on other salts are losers by
+          // definition. The residual seq check rejects salt collisions.
+          val keys = keyAgg.select(col("url").as("_k_url"), col("_w_seq"),
+            pmod(col("_w_seq"), lit(FallbackSaltFactor)).as("_k_salt"))
+          val salted = rows.withColumn("_salt",
+            pmod(col("seq"), lit(FallbackSaltFactor)))
+          salted.join(keys.hint("SHUFFLE_HASH"),
+              salted("url") === keys("_k_url") &&
+                salted("_salt") === keys("_k_salt") &&
+                (salted("seq") - keys("_w_seq") === 0L))
+            .drop("_k_url", "_w_seq", "_k_salt", "_salt")
             .groupBy(col("url"))
             .agg(max_by(payload, ordKey).as("w"))
             .select(col("w.*"))
