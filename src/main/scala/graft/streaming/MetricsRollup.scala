@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import scala.jdk.CollectionConverters._
 import graft.model.CdcSchema
 
 /** Streaming windowed rollup with an event-time watermark: per
@@ -109,6 +110,17 @@ object MetricsRollup {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     java.nio.file.Files.writeString(ledger,
       (seen + epochId).toSeq.sorted.mkString("\n") + "\n")
+    // retention: superseded v-* dirs are unreachable once PTR moved on;
+    // keep the latest few for readers mid-swap, GC the rest
+    val keep = 3
+    val old = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("v-"))
+      .toSeq.sortBy(p => p.getFileName.toString.stripPrefix("v-").toLong)
+      .dropRight(keep)
+    old.foreach { p =>
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
   }
 
   /** Read the current rollup state. */

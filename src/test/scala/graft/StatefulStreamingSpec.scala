@@ -72,6 +72,13 @@ class StatefulStreamingSpec extends SparkSpec {
     val again = MetricsRollup.read(spark, s"$base/rollup")
       .agg(sum($"events")).as[Long].head()
     assert(again === 3L)
+    // retention: superseded rollup versions are GC'd (≤3 kept)
+    val versions = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$base/rollup")).iterator()
+    val vCount = Iterator.continually(versions)
+      .takeWhile(_.hasNext).map(_.next().getFileName.toString)
+      .count(_.startsWith("v-"))
+    assert(vCount <= 3, s"expected ≤3 retained versions, got $vCount")
   }
 
   test("Sessionize: gap-split inside a batch and event-time-timeout close across batches") {
