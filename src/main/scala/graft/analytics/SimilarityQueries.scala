@@ -68,6 +68,47 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("n_vecs"), round(avg(col("cos")), 4).as("avg_cos"))
   }
 
+  /** Full IVF search — the ANN scale path end-to-end: corpus vectors are
+    * assigned to inverted lists (nearest of K broadcast centroids, one
+    * pass); each query probes only its nProbe nearest lists; exact
+    * cosine runs on the probed lists alone. At 10^9 vectors × K=4096
+    * lists × nProbe=64, the scored fraction is nProbe/K ≈ 1.6% of a
+    * brute-force pass, and the only shuffle is by list_id. Recall vs
+    * [[knnBruteForce]] is asserted in DedupSimilaritySpec.
+    */
+  def ivfSearch(s: SparkSession, d: String, kCentroids: Int, nProbe: Int,
+                nQueries: Int, k: Int): DataFrame = {
+    val e = vecs(s, d)
+    val cents = e.filter(col("vec_id") < kCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val lists = corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("centroid_id"),
+        round(cosine(s, col("cv"), col("v")), 4).as("ccos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("centroid_id").as("list_id"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("centroid_id"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        round(cosine(s, col("cv"), col("qv")), 4).as("qcos"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("list_id"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    lists.join(broadcast(probes), Seq("list_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(s, col("qv"), col("v")), 4).as("cos"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Random-hyperplane LSH: 16 sign bits from splitmix64-derived
     * hyperplanes → bucket; candidates share a bucket; exact cosine on
     * candidates only. The hyperplane matrix is deterministic from the
@@ -110,7 +151,9 @@ object SimilarityQueries {
     "s02_ivf_assign" -> ((s, d) => ivfAssign(s, d, kCentroids = 8)),
     // engine-hash bucketing — rows-only for the driver; recall vs
     // brute force asserted in SimilaritySpec.
-    "s03_ann_lsh" -> ((s, d) => annLsh(s, d, 0.3))
+    "s03_ann_lsh" -> ((s, d) => annLsh(s, d, 0.3)),
+    "s04_ivf_search" -> ((s, d) =>
+      ivfSearch(s, d, kCentroids = 8, nProbe = 3, nQueries = 10, k = 5))
   )
 
   val oracles: Map[String, String] = Map(
@@ -138,6 +181,36 @@ object SimilarityQueries {
         |  row_number() OVER (PARTITION BY vec_id
         |    ORDER BY cos DESC, centroid_id) AS rn FROM s)
         |SELECT centroid_id, count(*) AS n_vecs, round(avg(cos),4) AS avg_cos
-        |FROM scored WHERE rn = 1 GROUP BY 1""".stripMargin
+        |FROM scored WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "s04_ivf_search" ->
+      """WITH cents AS (
+        | SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        | FROM embeddings WHERE vec_id < 8),
+        |lists AS (
+        | SELECT vec_id, v, centroid_id AS list_id FROM (
+        |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.centroid_id,
+        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |     round(list_cosine_similarity(c.cv, CAST(e.embedding AS DOUBLE[])), 4) DESC,
+        |     c.centroid_id) AS rn
+        |  FROM embeddings e JOIN cents c ON true
+        |  WHERE e.vec_id >= 10)
+        | WHERE rn = 1),
+        |probes AS (
+        | SELECT query_id, qv, centroid_id AS list_id FROM (
+        |  SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+        |   c.centroid_id,
+        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |     round(list_cosine_similarity(c.cv, CAST(e.embedding AS DOUBLE[])), 4) DESC,
+        |     c.centroid_id) AS rn
+        |  FROM embeddings e JOIN cents c ON true
+        |  WHERE e.vec_id < 10)
+        | WHERE rn <= 3)
+        |SELECT query_id, vec_id, cos, rank FROM (
+        | SELECT p.query_id, l.vec_id,
+        |  round(list_cosine_similarity(p.qv, l.v), 4) AS cos,
+        |  CAST(row_number() OVER (PARTITION BY p.query_id ORDER BY
+        |    round(list_cosine_similarity(p.qv, l.v), 4) DESC, l.vec_id) AS BIGINT) AS rank
+        | FROM lists l JOIN probes p ON l.list_id = p.list_id)
+        |WHERE rank <= 5""".stripMargin
   )
 }

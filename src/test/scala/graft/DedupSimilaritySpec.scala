@@ -68,6 +68,27 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf search: probe-limited top-k has useful recall vs brute force") {
+    val bf = SimilarityQueries.knnBruteForce(spark, sf, nQueries = 10, k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityQueries
+      .ivfSearch(spark, sf, kCentroids = 8, nProbe = 3, nQueries = 10, k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.size === 50)
+    val recall = (bf & ivf).size.toDouble / bf.size
+    // probing 3 of 8 lists scores ~3/8 of the corpus; on this fixture
+    // the measured recall is well above the scored fraction
+    assert(recall >= 0.5, s"IVF recall@5 too low: $recall")
+    // and with nProbe = K (exhaustive probing) IVF == brute force
+    val full = SimilarityQueries
+      .ivfSearch(spark, sf, kCentroids = 8, nProbe = 8, nQueries = 10, k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === bf)
+  }
+
   test("ann lsh precision: returned pairs truly exceed threshold") {
     val pairs = SimilarityQueries.annLsh(spark, sf, 0.3).collect()
     pairs.foreach(r => assert(r.getAs[Double]("cos") >= 0.3))
