@@ -290,13 +290,41 @@ object MergeInto {
       //    cannot resurrect the url. Delta overlays on the touched
       //    buckets enter the same collapse and their files are dropped
       //    from the manifest below — a CoW epoch IS the overlay fold-in.
+      //
+      //    Same sort-free shape as phase B: the per-url winner is found
+      //    on NARROW columns with the primitive lww_seq HashAggregate
+      //    (winners is persisted, so its payload is scanned once; the
+      //    target's narrow pass is a column-pruned parquet scan), then
+      //    the payload joins back on (url, seq) — unique across
+      //    target∪winners since every WAL position is applied once.
+      winners.persist()
       val target = LakeTable.read(spark, tableDir, snap, Some(touchedSet))
         .withColumn("bucket", pmod(col("url_hash"), lit(snap.numBuckets)).cast("int"))
-      val tCols = target.columns.map(col).toIndexedSeq
-      val merged = target.unionByName(winners)
+      val narrowCols = Seq(col("url"), col("warc_ts"), col("seq"))
+      val uKeys = LakeTable.read(spark, tableDir, snap, Some(touchedSet))
+        .select(narrowCols: _*)
+        .unionByName(winners.select(narrowCols: _*))
         .groupBy(col("url"))
-        .agg(max_by(struct(tCols: _*), ordKey).as("w"))
-        .select(col("w.*"))
+        .agg(graft.plans.LwwFunctions.lww_seq(spark, col("warc_ts"), col("seq"))
+          .as("_m_seq"))
+        .select(col("url").as("_m_url"), col("_m_seq"))
+      val unionAll = target.unionByName(winners)
+      val merged =
+        if (targetRows + nKeys <= broadcastKeyLimit)
+          unionAll.join(broadcast(uKeys),
+              unionAll("url") === col("_m_url") && unionAll("seq") === col("_m_seq"))
+            .drop("_m_url", "_m_seq")
+        else {
+          val mSalted = unionAll.withColumn("_salt",
+            pmod(col("seq"), lit(FallbackSaltFactor)))
+          val kSalted = uKeys.withColumn("_k_salt",
+            pmod(col("_m_seq"), lit(FallbackSaltFactor)))
+          mSalted.join(kSalted.hint("SHUFFLE_HASH"),
+              mSalted("url") === kSalted("_m_url") &&
+                mSalted("_salt") === kSalted("_k_salt") &&
+                (mSalted("seq") - kSalted("_m_seq") === 0L))
+            .drop("_m_url", "_m_seq", "_salt", "_k_salt")
+        }
       merged.persist()
       try {
         // 4. write + per-bucket stats (two jobs over the cached result).
@@ -320,7 +348,7 @@ object MergeInto {
         LakeTable.commit(tableDir, s2, expectParent = snap.snapshotId)
         phase("commit")
         MergeResult(s2, applied = true, events, upsW, delW, durMs)
-      } finally merged.unpersist()
+      } finally { merged.unpersist(); winners.unpersist() }
     } finally { keyAgg.unpersist(); restorePf() }
   }
 }
