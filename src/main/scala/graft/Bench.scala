@@ -49,13 +49,24 @@ object Bench {
 
     // untimed warm-up ingest (JIT/codegen for the merge path), then the
     // best of two timed runs — the sandbox host's throughput swings 2-5×
-    // over minutes, so a single sample under-reports the plan
-    graft.bench.IngestBenchCore.run(spark, 1000000L, cpus,
-      java.nio.file.Files.createTempDirectory("graft-bench-warm").toString)
-    val ing = (1 to 2).map { _ =>
-      val base = java.nio.file.Files.createTempDirectory("graft-bench").toString
-      graft.bench.IngestBenchCore.run(spark, ingestN, cpus, base)
+    // over minutes, so a single sample under-reports the plan. Feed and
+    // table dirs live on tmpfs like the shuffle dirs: the single virtio
+    // disk would otherwise add its own variance to the measurement.
+    val benchRoot = java.nio.file.Paths.get(
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench"
+      else System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createDirectories(benchRoot)
+    def freshDir(tag: String) =
+      java.nio.file.Files.createTempDirectory(benchRoot, tag).toString
+    graft.bench.IngestBenchCore.run(spark, 1000000L, cpus, freshDir("warm"))
+    val ing = try (1 to 2).map { _ =>
+      graft.bench.IngestBenchCore.run(spark, ingestN, cpus, freshDir("run"))
     }.maxBy(_.backfillEps)
+    finally {
+      java.nio.file.Files.walk(benchRoot)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
 
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_events_per_sec":${ing.backfillEps.round},"ingest_tail_events_per_sec":${ing.tailEps.round},"ingest_tail_small_sec":${f"${ing.tailSmallSec}%.2f"},"ingest_tail_small_mor":${ing.tailSmallMor},"ingest_events":${ing.events},"ingest_backfill_sec":${f"${ing.backfillSec}%.2f"},"cores":$cpus}""")
     spark.stop()
