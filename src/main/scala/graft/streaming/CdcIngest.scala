@@ -27,12 +27,20 @@ object CdcIngest {
     * schema versions welcome: the source reads with the latest schema and
     * `MergeInto.alignToLatest` resolves columns by name — additive
     * evolution mid-stream).
+    *
+    * `transform` is the pluggable per-batch enrichment seam (SURVEY §7.5
+    * — the reference's LLM/metrics enrichment attaches here as column
+    * expressions or a `mapPartitions` stage): it runs on the raw batch
+    * BEFORE the merge, so enrichment is exactly-once along with the data
+    * and needs no anti-join rescan (the stream IS the new work,
+    * SURVEY §3.3). It must keep a latest-schema-alignable shape.
     */
   def start(spark: SparkSession, feedDir: String, tableDir: String,
             checkpointDir: String, numBuckets: Int = 32,
             maxFilesPerTrigger: Option[Int] = None,
             trigger: Trigger = Trigger.AvailableNow(),
-            mode: MergeInto.MergeMode = MergeInto.Auto): StreamingQuery = {
+            mode: MergeInto.MergeMode = MergeInto.Auto,
+            transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): StreamingQuery = {
     if (!LakeTable.exists(tableDir)) LakeTable.create(tableDir, numBuckets)
     var reader = spark.readStream
       .schema(CdcSchema.latest)
@@ -44,7 +52,7 @@ object CdcIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epochId: Long) =>
-        MergeInto.merge(batch.sparkSession, tableDir, batch, epochId, mode)
+        MergeInto.merge(batch.sparkSession, tableDir, transform(batch), epochId, mode)
         ()
       }
       .start()

@@ -67,6 +67,24 @@ class StreamingSpec extends SparkSpec {
     assert(LakeTable.load(tableDir).snapshotId === snap2.snapshotId)
   }
 
+  test("enrichment seam: per-batch transform applies exactly-once before merge") {
+    val base = tmpDir("enrich")
+    FeedGen.writeSegments(spark, cfg, s"$base/feed")
+    // enrichment: normalize lang to upper case (the reference's
+    // metrics/LLM enrichment attaches at this seam, SURVEY §3.3)
+    val q = CdcIngest.start(spark, s"$base/feed", s"$base/table",
+      s"$base/ckpt", numBuckets = 8, maxFilesPerTrigger = Some(2),
+      transform = df => df.withColumn("lang", upper(col("lang"))))
+    q.awaitTermination()
+    val langs = LakeTable.readLive(spark, s"$base/table")
+      .select($"lang").distinct().as[String].collect()
+    assert(langs.nonEmpty && langs.forall(l => l == null || l == l.toUpperCase))
+    // state otherwise equals the oracle (enrichment is a projection)
+    val want = oracle(FeedGen.readFeed(spark, s"$base/feed"))
+      .withColumn("lang", upper($"lang"))
+    assert(key(LakeTable.readLive(spark, s"$base/table")) === key(want))
+  }
+
   test("ingest metrics ledger records every epoch with throughput") {
     val base = tmpDir("ledger")
     FeedGen.writeSegments(spark, cfg, s"$base/feed")
