@@ -2,7 +2,6 @@ package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operator family over `documents` — the large-scale
   * training-data-pipeline ops: exact (hash-groupBy), n-gram Jaccard,
@@ -147,9 +146,7 @@ object DedupQueries {
     // per key — the canonical hash-groupBy keeper selection.
     "dd02_exact_keeper" -> ((s, d) => {
       val key = concat_ws(" ", slice(split(col("text"), " "), 1, 3))
-      val w = Window.partitionBy(col("k")).orderBy(col("doc_id"))
       documents(s, d).withColumn("k", key)
-        .withColumn("rn", row_number().over(w))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
         .filter(col("n_copies") > 1)

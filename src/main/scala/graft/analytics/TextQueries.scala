@@ -184,8 +184,8 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "t01_conditional_agg" ->
       """SELECT lang, count(*) AS docs,
-        | sum(CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END) AS with_data,
-        | sum(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS with_spark,
+        | CAST(sum(CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END) AS BIGINT) AS with_data,
+        | CAST(sum(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS BIGINT) AS with_spark,
         | round(avg(n_chars),4) AS avg_chars
         |FROM documents GROUP BY 1""".stripMargin,
     "t02_case_classify" ->

@@ -64,12 +64,17 @@ object ScalingBench {
     java.nio.file.Files.createDirectories(trialBase)
 
     val times = (1 to trials).map { t =>
-      val base = java.nio.file.Files.createTempDirectory(trialBase, s"graft-scale-$t").toString
+      val base = java.nio.file.Files.createTempDirectory(trialBase, s"graft-scale-$t")
       val t0 = System.nanoTime()
       CdcIngest.runAvailableNow(spark, feedDir, s"$base/table", s"$base/ckpt",
         numBuckets = 64)
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[scaling] trial $t: $sec%.2f s")
+      // each trial leaves a full ingested table on RAM-backed tmpfs —
+      // delete it before the next trial or large-n runs exhaust /dev/shm
+      java.nio.file.Files.walk(base)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
       sec
     }
     val best = times.min

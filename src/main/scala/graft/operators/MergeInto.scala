@@ -217,10 +217,13 @@ object MergeInto {
       val payload = struct(rows.columns.map(col).toIndexedSeq: _*)
       val winners =
         if (nKeys <= broadcastKeyLimit) {
-          val keys = keyAgg.select(col("url"), col("_w_seq"))
+          // key side renamed (as in the fallback path) — joining on a
+          // column derived from `rows` itself degrades to a trivially
+          // true equals predicate and the join would key on seq alone
+          val keys = keyAgg.select(col("url").as("_k_url"), col("_w_seq"))
           rows.join(broadcast(keys),
-              rows("url") === keys("url") && rows("seq") === col("_w_seq"))
-            .drop("_w_seq").drop(keys("url"))
+              rows("url") === keys("_k_url") && rows("seq") === col("_w_seq"))
+            .drop("_w_seq", "_k_url")
             .groupBy(col("url"))
             .agg(max_by(payload, ordKey).as("w"))
             .select(col("w.*"))
@@ -295,36 +298,52 @@ object MergeInto {
       //    on NARROW columns with the primitive lww_seq HashAggregate
       //    (winners is persisted, so its payload is scanned once; the
       //    target's narrow pass is a column-pruned parquet scan), then
-      //    the payload joins back on (url, seq) — unique across
-      //    target∪winners since every WAL position is applied once.
+      //    the payload joins back on (url, enc). (url, seq) alone is NOT
+      //    unique across target∪winners: an at-least-once redelivered
+      //    event can be this batch's winner while its first delivery
+      //    already sits in the table, and both byte-identical copies
+      //    would survive a (url, seq) join-back. The enc key folds a
+      //    write-generation tag into seq's low bits (LakeTable.readTagged
+      //    — target writes in snapshot order, this batch's winners as the
+      //    newest generation), restoring uniqueness and deterministically
+      //    keeping the newest copy.
       winners.persist()
-      val target = LakeTable.read(spark, tableDir, snap, Some(touchedSet))
+      val (targetTagged, nGensT) = LakeTable.readTagged(spark, tableDir, touchedFiles)
+      val encBits = LakeTable.genBits(nGensT + 1)
+      val maxSeqAll = math.max(
+        touchedFiles.map(_.maxSeq).foldLeft(0L)(math.max),
+        batchLineage.values.max)
+      require(maxSeqAll < (1L << (62 - encBits)),
+        s"seq too large for ${nGensT + 1}-generation encoding")
+      val enc = shiftleft(col("seq"), encBits) + col("_gen")
+      val target = targetTagged
         .withColumn("bucket", pmod(col("url_hash"), lit(snap.numBuckets)).cast("int"))
-      val narrowCols = Seq(col("url"), col("warc_ts"), col("seq"))
-      val uKeys = LakeTable.read(spark, tableDir, snap, Some(touchedSet))
-        .select(narrowCols: _*)
-        .unionByName(winners.select(narrowCols: _*))
+      val winnersGen = winners.withColumn("_gen", lit(nGensT))
+      val narrowCols = Seq(col("url"), col("warc_ts"), enc.as("_e"))
+      val uKeys = targetTagged.select(narrowCols: _*)
+        .unionByName(winnersGen.select(narrowCols: _*))
         .groupBy(col("url"))
-        .agg(graft.plans.LwwFunctions.lww_seq(spark, col("warc_ts"), col("seq"))
-          .as("_m_seq"))
-        .select(col("url").as("_m_url"), col("_m_seq"))
-      val unionAll = target.unionByName(winners)
+        .agg(graft.plans.LwwFunctions.lww_seq(spark, col("warc_ts"), col("_e"))
+          .as("_m_e"))
+        .select(col("url").as("_m_url"), col("_m_e"))
+      val unionAll = target.withColumn("_e", enc)
+        .unionByName(winnersGen.withColumn("_e", enc))
       val merged =
-        if (targetRows + nKeys <= broadcastKeyLimit)
+        (if (targetRows + nKeys <= broadcastKeyLimit)
           unionAll.join(broadcast(uKeys),
-              unionAll("url") === col("_m_url") && unionAll("seq") === col("_m_seq"))
-            .drop("_m_url", "_m_seq")
+              unionAll("url") === col("_m_url") && unionAll("_e") === col("_m_e"))
+            .drop("_m_url", "_m_e")
         else {
           val mSalted = unionAll.withColumn("_salt",
-            pmod(col("seq"), lit(FallbackSaltFactor)))
+            pmod(col("_e"), lit(FallbackSaltFactor)))
           val kSalted = uKeys.withColumn("_k_salt",
-            pmod(col("_m_seq"), lit(FallbackSaltFactor)))
+            pmod(col("_m_e"), lit(FallbackSaltFactor)))
           mSalted.join(kSalted.hint("SHUFFLE_HASH"),
               mSalted("url") === kSalted("_m_url") &&
                 mSalted("_salt") === kSalted("_k_salt") &&
-                (mSalted("seq") - kSalted("_m_seq") === 0L))
-            .drop("_m_url", "_m_seq", "_salt", "_k_salt")
-        }
+                (mSalted("_e") - kSalted("_m_e") === 0L))
+            .drop("_m_url", "_m_e", "_salt", "_k_salt")
+        }).drop("_e", "_gen")
       merged.persist()
       try {
         // 4. write + per-bucket stats (two jobs over the cached result).

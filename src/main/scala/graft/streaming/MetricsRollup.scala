@@ -108,8 +108,15 @@ object MetricsRollup {
     java.nio.file.Files.move(ptrTmp, ptr,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    java.nio.file.Files.writeString(ledger,
+    // ledger rewrite must be atomic (temp + ATOMIC_MOVE, like PTR): a
+    // crash mid-truncate+write would leave a partial line that wedges
+    // every later restart on toLong
+    val ledgerTmp = dir.resolve(s".epochs.tmp.$epochId")
+    java.nio.file.Files.writeString(ledgerTmp,
       (seen + epochId).toSeq.sorted.mkString("\n") + "\n")
+    java.nio.file.Files.move(ledgerTmp, ledger,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // retention: superseded v-* dirs are unreachable once PTR moved on;
     // keep the latest few for readers mid-swap, GC the rest
     val keep = 3

@@ -127,6 +127,51 @@ object LakeTable {
     else spark.read.schema(CdcSchema.tableSchema)
       .parquet(files.map(f => s"$dir/${f.path}"): _*)
 
+  /** The physical write that produced a file: its `data/s{N}[-delta]`
+    * dir (one copy-on-write rewrite or one merge-on-read epoch).
+    */
+  private def writeDirOf(f: FileEntry): String = f.path.split('/')(1)
+  private def writeOrd(g: String): Long =
+    g.stripPrefix("s").stripSuffix("-delta").toLong
+
+  /** Bits needed to encode generation values 0..nGens-1 into the low
+    * bits of `seq` (see [[readTagged]]).
+    */
+  private[graft] def genBits(nGens: Int): Int =
+    64 - java.lang.Long.numberOfLeadingZeros(math.max(nGens - 1, 1).toLong)
+
+  /** Read `files` with a `_gen` column that makes `(url, seq, _gen)`
+    * UNIQUE — the disambiguator for byte-identical duplicate rows.
+    *
+    * Why duplicates exist at all: the feed is at-least-once, so the same
+    * event (same url, same seq, identical payload) can be redelivered in
+    * a later epoch and be that epoch's per-url LWW winner again — landing
+    * a second physical copy in a different write (a delta overlay, or a
+    * batch winner colliding with the stored row on the copy-on-write
+    * path). A join-back keyed on (url, seq) alone would then return BOTH
+    * copies. (url, seq) is unique *within* one write — every write is
+    * per-url deduped — so tagging rows by write restores a unique key.
+    *
+    * Generations: all base files share gen 0 (each bucket has exactly one
+    * base file and urls never span buckets, so base rows are jointly
+    * per-url unique); each delta write gets its own gen in snapshot
+    * order. Callers fold `_gen` into the LWW order as low bits of seq:
+    * `(seq << genBits) | _gen` — order-preserving in seq, and for the
+    * byte-identical copies of one event (equal warc_ts, equal seq) it
+    * deterministically picks the newest write. Returns (rows, genCount).
+    */
+  private[graft] def readTagged(spark: SparkSession, dir: String,
+                                files: Seq[FileEntry]): (DataFrame, Int) = {
+    val (delta, base) = files.partition(_.kind == "delta")
+    val deltaGens = delta.map(writeDirOf).distinct.sortBy(writeOrd)
+    val baseDf = readFiles(spark, dir, base).withColumn("_gen", lit(0))
+    val df = deltaGens.zipWithIndex.foldLeft(baseDf) { case (acc, (g, i)) =>
+      acc.unionByName(readFiles(spark, dir, delta.filter(writeDirOf(_) == g))
+        .withColumn("_gen", lit(i + 1)))
+    }
+    (df, deltaGens.size + 1)
+  }
+
   /** Merged view: LWW-collapse base∪delta rows to one row per url —
     * tombstone winners retained (callers filter). The collapse (a
     * shuffle) runs ONLY over buckets that carry delta files; clean
@@ -138,10 +183,14 @@ object LakeTable {
     * Plan shape (same reasoning as the MergeInto fallback): the winner
     * per url is found on a NARROW (url, warc_ts, seq) scan with the
     * primitive-buffer lww_seq HashAggregate, then the payload is
-    * hash-joined back on (url, seq-residual) — payload bytes cross one
-    * url-partitioned exchange and are never sort-aggregated. (url, seq)
-    * is unique across base∪delta: each WAL position is applied once, and
-    * each epoch's winners are already per-url deduped.
+    * hash-joined back on (url, enc-residual) — payload bytes cross one
+    * url-partitioned exchange and are never sort-aggregated. The join-back
+    * key is `(seq << genBits) | _gen` ([[readTagged]]): (url, seq) alone
+    * is NOT unique across base∪delta under at-least-once redelivery (the
+    * same event can be re-applied as a later epoch's winner), and a
+    * (url, seq) join-back would duplicate the url; the write-generation
+    * low bits keep exactly one copy — the newest write's — with no
+    * dedup aggregate over the payload.
     */
   def readMerged(spark: SparkSession, dir: String, snap: Snapshot,
                  buckets: Option[Set[Int]] = None): DataFrame = {
@@ -152,16 +201,21 @@ object LakeTable {
     val dirtyBuckets = sel.filter(_.kind == "delta").map(_.bucket).toSet
     if (dirtyBuckets.isEmpty) return readFiles(spark, dir, sel)
     val (dirty, clean) = sel.partition(f => dirtyBuckets.contains(f.bucket))
-    val keys = readFiles(spark, dir, dirty)
-      .select(col("url"), col("warc_ts"), col("seq"))
+    val (tagged, nGens) = readTagged(spark, dir, dirty)
+    val bits = genBits(nGens)
+    require(dirty.map(_.maxSeq).max < (1L << (62 - bits)),
+      s"seq too large for $nGens-generation encoding")
+    val enc = shiftleft(col("seq"), bits) + col("_gen")
+    val keys = tagged
+      .select(col("url"), col("warc_ts"), enc.as("_e"))
       .groupBy(col("url"))
-      .agg(graft.plans.LwwFunctions.lww_seq(spark, col("warc_ts"), col("seq"))
-        .as("_w_seq"))
-      .select(col("url").as("_k_url"), col("_w_seq"))
-    val dirtyDf = readFiles(spark, dir, dirty)
+      .agg(graft.plans.LwwFunctions.lww_seq(spark, col("warc_ts"), col("_e"))
+        .as("_w_e"))
+      .select(col("url").as("_k_url"), col("_w_e"))
+    val dirtyDf = tagged.withColumn("_e", enc)
       .join(keys.hint("SHUFFLE_HASH"),
-        col("url") === col("_k_url") && (col("seq") - col("_w_seq") === 0L))
-      .drop("_k_url", "_w_seq")
+        col("url") === col("_k_url") && (col("_e") - col("_w_e") === 0L))
+      .drop("_k_url", "_w_e", "_e", "_gen")
     readFiles(spark, dir, clean).unionByName(dirtyDf)
   }
 
