@@ -59,12 +59,19 @@ object DedupQueries {
 
   private val MinhashK = 32 // 8 bands × 4 rows
   private val Bands = 8
+  private val RowsPerBand = MinhashK / Bands
 
-  /** MinHash signatures: k per-seed min over xxhash64(seed, shingle). */
+  /** MinHash signatures: k universal-hash mins over one portable 31-bit
+    * shingle hash ([[Hashing.h31]] + the (a·x+b) mod P family). One md5
+    * per distinct shingle; the k per-seed hashes are codegen'd integer
+    * arithmetic — and the whole signature is reproducible in DuckDB SQL,
+    * so MinHash+LSH is oracle-checked, not rows-only.
+    */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val sh = shingles(docs)
+      .select(col("doc_id"), Hashing.h31(col("shingle")).as("h"))
     val mins = (0 until MinhashK).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+      min(Hashing.uh(i, col("h"))).as(s"mh_$i"))
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
@@ -72,13 +79,18 @@ object DedupQueries {
     * minhash-estimated Jaccard (matching rows / k). Est-only — callers
     * verify with ngramJaccardPairs on the candidates when exactness
     * matters.
+    *
+    * Shape: band keys are the raw row-value TUPLES (no engine hash — the
+    * oracle joins on the same tuples); the signature table is one narrow
+    * row per doc, so both the band self-join's build side and the two
+    * est joins BROADCAST it — the only shuffle is the band bucket join.
     */
   def minhashLshPairs(docs: DataFrame): DataFrame = {
     val sig = minhashSignatures(docs).persist()
-    val rowsPerBand = MinhashK / Bands
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
-        hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i")): _*).as("bkt"))
+        struct((0 until RowsPerBand)
+          .map(r => col(s"mh_${b * RowsPerBand + r}").as(s"r$r")): _*).as("bkt"))
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkt"))
@@ -91,38 +103,43 @@ object DedupQueries {
       .map(i => when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0))
       .reduce(_ + _)
     cand
-      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .join(broadcast(sig.as("a")), col("doc_a") === col("a.doc_id"))
+      .join(broadcast(sig.as("b")), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         round(est.cast("double") / MinhashK, 4).as("est_jaccard"))
   }
 
-  /** 64-bit SimHash from word hashes: per-bit majority vote as 64 sum
-    * aggregates (stays in whole-stage codegen; no UDF/UDAF).
+  private val SimBits = 60 // 4 bands × 15 bits; 60-bit values stay
+                           // positive in signed 64-bit lanes both engines
+
+  /** SimHash from word hashes: per-bit majority vote as 60 sum
+    * aggregates (stays in whole-stage codegen; no UDF/UDAF). Word hash
+    * is the portable [[Hashing.h60]], so the signature — and therefore
+    * the pair set — is recomputable by the DuckDB oracle.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val wordHash = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
-      .select(col("doc_id"), xxhash64(col("word")).as("h"))
-    val bitSums = (0 until 64).map(j =>
+      .select(col("doc_id"), Hashing.h60(col("word")).as("h"))
+    val bitSums = (0 until SimBits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j"))
     val agg = wordHash.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sh = (0 until 64).map(j =>
+    val sh = (0 until SimBits).map(j =>
       when(col(s"b_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     agg.select(col("doc_id"), sh.as("simhash"))
   }
 
   /** SimHash near-dup pairs within hamming distance ≤ maxDist, candidates
-    * bucketed by 16-bit bands (a pair within distance 3 must agree on at
+    * bucketed by 15-bit bands (a pair within distance 3 must agree on at
     * least one of 4 bands — pigeonhole), verified by bit_count(xor).
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val sh = simhash(docs).persist()
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bkt")))
+        shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFFL).as("bkt")))
     val buckets = sh.select(col("doc_id"), col("simhash"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bkt"))
@@ -133,6 +150,37 @@ object DedupQueries {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  private val NearDupTables = 6
+  private val NearDupPlanes = 4
+
+  /** Embedding near-dup pairs with LSH-table candidate generation: each
+    * vector gets one sign-bucket per hash table (literal hyperplanes —
+    * [[Hashing.hyperplanes]]); candidates share a (table, bucket);
+    * survivors are exact-cosine-verified. Replaces the round-1
+    * label-bucketed all-pairs: a metadata group is unbounded (one hot
+    * label ⇒ O(n²)), while an LSH bucket's expected size is corpus/2^P
+    * per table — the shape that survives a 100× scale-up. Multi-table
+    * OR-ing buys back the recall a single bucketing loses.
+    */
+  def embeddingNearDupPairs(s: SparkSession, d: String, minCos: Double): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val tblCols = (0 until NearDupTables).map { t =>
+      val planes = Hashing.hyperplanes(NearDupPlanes, 64, 1000L + t)
+      struct(lit(t).as("tbl"), Hashing.bucketCol(s, col("v"), planes).as("bkt"))
+    }
+    val b = e.select(col("vec_id"), col("v"),
+        explode(array(tblCols: _*)).as("tb"))
+      .select(col("vec_id"), col("v"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    b.as("x").join(b.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        round(graft.plans.VectorFunctions.vec_cosine(s, col("x.v"), col("y.v")), 4).as("cos"))
+      .distinct()
+      .filter(col("cos") >= minCos)
   }
 
   val queries: Map[String, Q] = Map(
@@ -156,27 +204,20 @@ object DedupQueries {
     "dd03_ngram_jaccard" -> ((s, d) =>
       ngramJaccardPairs(documents(s, d), 0.8)),
 
-    // MinHash+LSH candidates — not SQL-expressible (engine hash); the
-    // driver records rows-only. Correctness vs exact Jaccard is asserted
-    // in DedupSpec instead.
+    // MinHash+LSH candidates with estimated Jaccard — portable-hash
+    // signatures, fully oracle-checked; recall vs exact Jaccard is
+    // additionally asserted in DedupSimilaritySpec.
     "dd04_minhash_lsh" -> ((s, d) => minhashLshPairs(documents(s, d))),
 
-    // SimHash near-dups — rows-only for the driver; property-tested.
+    // SimHash near-dups — portable-hash signature, oracle-checked;
+    // hamming property-tested in DedupSimilaritySpec.
     "dd05_simhash" -> ((s, d) => simhashPairs(documents(s, d), 3)),
 
-    // Embedding-cosine near-dup pairs, candidate-bucketed by label.
-    // (testdata vectors top out near cos≈0.48 within-label, so the
-    // "near-dup" threshold is 0.4 — the operator, not the constant,
-    // is the deliverable.)
-    "dd06_embedding_neardup" -> ((s, d) => {
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding").as("v"))
-      e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          round(graft.plans.VectorFunctions.vec_cosine(s, col("a.v"), col("b.v")), 4).as("cos"))
-        .filter(col("cos") >= 0.4)
-    })
+    // Embedding-cosine near-dup pairs, LSH-table candidates + exact
+    // verify. (testdata vectors top out near cos≈0.48, so the "near-dup"
+    // threshold is 0.4 — the operator, not the constant, is the
+    // deliverable.)
+    "dd06_embedding_neardup" -> ((s, d) => embeddingNearDupPairs(s, d, 0.4))
   )
 
   val oracles: Map[String, String] = Map(
@@ -207,13 +248,73 @@ object DedupQueries {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.8""".stripMargin,
-    "dd06_embedding_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |   CAST(b.embedding AS DOUBLE[])), 4) AS cos
-        |FROM embeddings a JOIN embeddings b
-        | ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |   CAST(b.embedding AS DOUBLE[])), 4) >= 0.4""".stripMargin
+    "dd04_minhash_lsh" -> {
+      val minCols = (0 until MinhashK)
+        .map(i => s"min(${Hashing.uhSql(i, "h")}) AS mh_$i").mkString(",\n |  ")
+      val bandOr = (0 until Bands).map { b =>
+        "(" + (b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(i => s"a.mh_$i = b.mh_$i").mkString(" AND ") + ")"
+      }.mkString("\n |   OR ")
+      val matchSum = (0 until MinhashK)
+        .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH sh AS (
+         | SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, len(string_split(text,' ')) - 3),
+         |    i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS shingle
+         |  FROM documents)),
+         |hh AS (SELECT doc_id, ${Hashing.h31Sql("shingle")} AS h FROM sh),
+         |sig AS (SELECT doc_id,
+         |  $minCols
+         | FROM hh GROUP BY 1),
+         |cand AS (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+         |   $bandOr))
+         |SELECT c.doc_a, c.doc_b,
+         | round(($matchSum) / 32.0, 4) AS est_jaccard
+         |FROM cand c
+         |JOIN sig a ON a.doc_id = c.doc_a
+         |JOIN sig b ON b.doc_id = c.doc_b""".stripMargin
+    },
+    "dd05_simhash" -> {
+      val bitCols = (0 until SimBits)
+        .map(j => s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b_$j")
+        .mkString(",\n |  ")
+      val pack = (0 until SimBits)
+        .map(j => s"(CASE WHEN b_$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      val bandOr = (0 until 4)
+        .map(b => s"((x.sh >> ${b * 15}) & 32767) = ((y.sh >> ${b * 15}) & 32767)")
+        .mkString("\n |   OR ")
+      s"""WITH wh AS (
+         | SELECT doc_id, ${Hashing.h60Sql("word")} AS h FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         | WHERE word <> ''),
+         |bits AS (SELECT doc_id,
+         |  $bitCols
+         | FROM wh GROUP BY 1),
+         |sig AS (SELECT doc_id, $pack AS sh FROM bits)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         | CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+         |FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND (
+         |  $bandOr)
+         |WHERE bit_count(xor(x.sh, y.sh)) <= 3""".stripMargin
+    },
+    "dd06_embedding_neardup" -> {
+      val tbls = (0 until NearDupTables).map { t =>
+        val planes = Hashing.hyperplanes(NearDupPlanes, 64, 1000L + t)
+        s"SELECT vec_id, v, $t AS tbl, ${Hashing.bucketSql("v", planes)} AS bkt FROM e"
+      }.mkString("\n | UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (
+         | $tbls)
+         |SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
+         | round(list_cosine_similarity(x.v, y.v), 4) AS cos
+         |FROM b x JOIN b y
+         | ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id
+         |WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.4""".stripMargin
+    }
   )
 }

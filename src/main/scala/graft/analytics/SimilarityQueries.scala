@@ -109,28 +109,17 @@ object SimilarityQueries {
       .filter(col("rank") <= k)
   }
 
-  /** Random-hyperplane LSH: 16 sign bits from splitmix64-derived
+  /** Random-hyperplane LSH: sign bits from splitmix64-derived
     * hyperplanes → bucket; candidates share a bucket; exact cosine on
     * candidates only. The hyperplane matrix is deterministic from the
-    * seed and lives in the plan as a literal (broadcast by value).
+    * seed and lives in the plan as a literal (broadcast by value) — which
+    * also makes the bucketing reproducible by the DuckDB oracle
+    * ([[Hashing.bucketSql]]).
     */
   def lshBuckets(s: SparkSession, d: String, nPlanes: Int = 16,
                  dim: Int = 64, seed: Long = 42L): DataFrame = {
-    def mix(zIn: Long): Long = {
-      var z = zIn + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    val planes: Array[Array[Double]] = Array.tabulate(nPlanes, dim) { (p, i) =>
-      (mix(seed ^ (p * 1000003L + i)).toDouble / Long.MaxValue.toDouble)
-    }
-    val e = vecs(s, d)
-    val sig = planes.zipWithIndex.map { case (plane, p) =>
-      val planeCol = array(plane.map(lit(_)).toIndexedSeq: _*)
-      when(dot(s, col("v"), planeCol) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    e.withColumn("bucket", sig)
+    val planes = Hashing.hyperplanes(nPlanes, dim, seed)
+    vecs(s, d).withColumn("bucket", Hashing.bucketCol(s, col("v"), planes))
   }
 
   /** ANN via LSH buckets: exact cosine within buckets only. 8 planes →
@@ -149,8 +138,8 @@ object SimilarityQueries {
   val queries: Map[String, Q] = Map(
     "s01_knn_bruteforce" -> ((s, d) => knnBruteForce(s, d, nQueries = 10, k = 5)),
     "s02_ivf_assign" -> ((s, d) => ivfAssign(s, d, kCentroids = 8)),
-    // engine-hash bucketing — rows-only for the driver; recall vs
-    // brute force asserted in SimilaritySpec.
+    // literal-hyperplane bucketing — oracle-checked (DuckDB recomputes
+    // the sign bits); precision also asserted in DedupSimilaritySpec.
     "s03_ann_lsh" -> ((s, d) => annLsh(s, d, 0.3)),
     "s04_ivf_search" -> ((s, d) =>
       ivfSearch(s, d, kCentroids = 8, nProbe = 3, nQueries = 10, k = 5))
@@ -171,6 +160,16 @@ object SimilarityQueries {
         |  CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rank FROM s)
         |WHERE rank <= 5""".stripMargin,
+    "s03_ann_lsh" -> {
+      val planes = Hashing.hyperplanes(8, 64, 42L)
+      s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  ${Hashing.bucketSql("CAST(embedding AS DOUBLE[])", planes)} AS bucket
+         | FROM embeddings)
+         |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         | round(list_cosine_similarity(x.v, y.v), 4) AS cos
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.3""".stripMargin
+    },
     "s02_ivf_assign" ->
       """WITH s AS (
         | SELECT v.vec_id, c.vec_id AS centroid_id,

@@ -45,6 +45,31 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedding near-dup: LSH-table candidates — exact precision, useful recall") {
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val exact = (for {
+      i <- ids; j <- ids if i < j
+      if math.rint(cos(vecs(i), vecs(j)) * 10000) / 10000 >= 0.4
+    } yield (i, j)).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val got = DedupQueries.embeddingNearDupPairs(spark, sf, 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1: every returned pair truly exceeds the threshold
+    assert((got -- exact).isEmpty, s"false positives: ${got -- exact}")
+    // recall: 6 tables × 4 planes recovers most of the exact pair set
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH-table recall too low: $recall")
+  }
+
   test("knn rank-1 is the true argmax neighbor") {
     val knn = SimilarityQueries.knnBruteForce(spark, sf, 10, 5)
     val top1 = knn.filter(col("rank") === 1).collect()
