@@ -1,12 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
-/** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+/** Driver-run correctness dump: each SparkEntry.queries result → parquet
+  * (plus csv/json when SPARK_GRAFT_EXPORT lists them — the reference's
+  * multi-format export, S11), a metadata.json result manifest, and
+  * oracle_sql.json for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val formats = "parquet" +: sys.env.getOrElse("SPARK_GRAFT_EXPORT", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,13 +19,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+    val entries = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      try Some(graft.sources.ResultExport.export(
+        fn(spark, sfDir), outDir, name, formats))
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        None
       }
     }
+    graft.sources.ResultExport.writeManifest(outDir, entries)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -244,6 +244,33 @@ object CoreQueries {
           sum(col("total_events")).as("total_events"))
     }),
 
+    // S7 through the ENGINE path: the maintained additive-merge stats
+    // table (reference `_update_user_stats`, loaders/sqlite.py:205–236)
+    // — two epochs folded through AdditiveRollup's epoch-idempotent
+    // sink (including a redelivered epoch that must no-op), then read
+    // back; must equal the from-scratch aggregate the oracle computes.
+    "q34_user_rollup" -> ((s, d) => {
+      import graft.operators.AdditiveRollup
+      val dir = java.nio.file.Files.createTempDirectory("graft-q34").toString
+      val e = events(s, d)
+      def delta(df: DataFrame) = df.groupBy(col("user_id")).agg(
+        min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"),
+        count(lit(1)).as("total_events"), sum(col("value")).as("sum_value"))
+      val combine = Seq(
+        "first_seen" -> AdditiveRollup.minOf, "last_seen" -> AdditiveRollup.maxOf,
+        "total_events" -> AdditiveRollup.add, "sum_value" -> AdditiveRollup.addD)
+      AdditiveRollup.upsert(s, dir, delta(e.filter(col("event_id") % 2 === 0)),
+        Seq("user_id"), 0L, combine)
+      AdditiveRollup.upsert(s, dir, delta(e.filter(col("event_id") % 2 =!= 0)),
+        Seq("user_id"), 1L, combine)
+      // at-least-once redelivery of epoch 1: ledger makes it a no-op
+      AdditiveRollup.upsert(s, dir, delta(e.filter(col("event_id") % 2 =!= 0)),
+        Seq("user_id"), 1L, combine)
+      AdditiveRollup.read(s, dir).select(col("user_id"), col("first_seen"),
+        col("last_seen"), col("total_events"),
+        round(col("sum_value"), 4).as("sum_value"))
+    }),
+
     // P7: NULLIF/COALESCE guards (queries.py:308–310; sqlite.py:226–227).
     "q28_null_guards" -> ((s, d) => lineitem(s, d)
       .groupBy(col("l_returnflag"))
@@ -419,6 +446,10 @@ object CoreQueries {
     "q27_user_stats_merge" ->
       """SELECT user_id, min(ts) AS first_seen, max(ts) AS last_seen,
         | count(*) AS total_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "q34_user_rollup" ->
+      """SELECT user_id, min(ts) AS first_seen, max(ts) AS last_seen,
+        | count(*) AS total_events, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
     "q28_null_guards" ->
       """SELECT l_returnflag,

@@ -34,13 +34,20 @@ object CdcIngest {
     * BEFORE the merge, so enrichment is exactly-once along with the data
     * and needs no anti-join rescan (the stream IS the new work,
     * SURVEY §3.3). It must keep a latest-schema-alignable shape.
+    *
+    * `statsDir`, when set, maintains the per-domain stats dimension
+    * ([[DomainStatsRollup]] — the reference's per-batch
+    * `_update_user_stats` analog) from the same epoch. Both sinks are
+    * independently epoch-idempotent, so a crash between them replays
+    * only the one that missed.
     */
   def start(spark: SparkSession, feedDir: String, tableDir: String,
             checkpointDir: String, numBuckets: Int = 32,
             maxFilesPerTrigger: Option[Int] = None,
             trigger: Trigger = Trigger.AvailableNow(),
             mode: MergeInto.MergeMode = MergeInto.Auto,
-            transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): StreamingQuery = {
+            transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity,
+            statsDir: Option[String] = None): StreamingQuery = {
     if (!LakeTable.exists(tableDir)) LakeTable.create(tableDir, numBuckets)
     var reader = spark.readStream
       .schema(CdcSchema.latest)
@@ -52,7 +59,10 @@ object CdcIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epochId: Long) =>
-        MergeInto.merge(batch.sparkSession, tableDir, transform(batch), epochId, mode)
+        val b = transform(batch)
+        MergeInto.merge(batch.sparkSession, tableDir, b, epochId, mode)
+        statsDir.foreach(sd =>
+          DomainStatsRollup.upsert(batch.sparkSession, sd, b, epochId))
         ()
       }
       .start()

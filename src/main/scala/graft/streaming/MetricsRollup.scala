@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import scala.jdk.CollectionConverters._
 import graft.model.CdcSchema
 
 /** Streaming windowed rollup with an event-time watermark: per
@@ -74,68 +73,23 @@ object MetricsRollup {
       maxFilesPerTrigger).awaitTermination()
 
   /** Upsert the updated (hour_start, lang) rows into the rollup table.
-    * Epoch-idempotent: an `_epochs` ledger file skips redelivered
-    * batches (same exactly-once scheme as the main MERGE sink).
+    * Epoch-idempotent via [[RollupStore]] (same exactly-once scheme as
+    * the main MERGE sink).
     */
   private def upsert(spark: SparkSession, rollupDir: String,
                      updated: DataFrame, epochId: Long): Unit = {
-    val dir = java.nio.file.Paths.get(rollupDir)
-    java.nio.file.Files.createDirectories(dir)
-    val ledger = dir.resolve("_epochs")
-    val seen: Set[Long] =
-      if (java.nio.file.Files.exists(ledger))
-        java.nio.file.Files.readString(ledger).split("\n")
-          .filter(_.nonEmpty).map(_.toLong).toSet
-      else Set.empty
-    if (seen.contains(epochId)) return
-    val ptr = dir.resolve("PTR")
-    val merged =
-      if (!java.nio.file.Files.exists(ptr)) updated
-      else {
-        val v = java.nio.file.Files.readString(ptr).trim
-        val old = spark.read.parquet(dir.resolve(v).toString)
+    RollupStore.applyEpoch(spark, rollupDir, epochId) {
+      case None => updated
+      case Some(old) =>
         // updated rows replace old rows on the (hour_start, lang) key
         old.join(updated.select("hour_start", "lang"),
             Seq("hour_start", "lang"), "left_anti")
           .unionByName(updated)
-      }
-    // swap: parquet dirs can't be renamed atomically over an existing
-    // target, so point reads at a versioned dir via a CURRENT-style file
-    val next = dir.resolve(s"v-$epochId")
-    merged.coalesce(1).write.mode("overwrite").parquet(next.toString)
-    val ptrTmp = dir.resolve(s".ptr.tmp.$epochId")
-    java.nio.file.Files.writeString(ptrTmp, s"v-$epochId")
-    java.nio.file.Files.move(ptrTmp, ptr,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // ledger rewrite must be atomic (temp + ATOMIC_MOVE, like PTR): a
-    // crash mid-truncate+write would leave a partial line that wedges
-    // every later restart on toLong
-    val ledgerTmp = dir.resolve(s".epochs.tmp.$epochId")
-    java.nio.file.Files.writeString(ledgerTmp,
-      (seen + epochId).toSeq.sorted.mkString("\n") + "\n")
-    java.nio.file.Files.move(ledgerTmp, ledger,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // retention: superseded v-* dirs are unreachable once PTR moved on;
-    // keep the latest few for readers mid-swap, GC the rest
-    val keep = 3
-    val old = java.nio.file.Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("v-"))
-      .toSeq.sortBy(p => p.getFileName.toString.stripPrefix("v-").toLong)
-      .dropRight(keep)
-    old.foreach { p =>
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
     }
+    ()
   }
 
   /** Read the current rollup state. */
-  def read(spark: SparkSession, rollupDir: String): DataFrame = {
-    val dir = java.nio.file.Paths.get(rollupDir)
-    val ptr = dir.resolve("PTR")
-    require(java.nio.file.Files.exists(ptr), s"no rollup at $rollupDir")
-    val v = java.nio.file.Files.readString(ptr).trim
-    spark.read.parquet(dir.resolve(v).toString)
-  }
+  def read(spark: SparkSession, rollupDir: String): DataFrame =
+    RollupStore.read(spark, rollupDir)
 }
