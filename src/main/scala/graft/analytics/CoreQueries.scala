@@ -124,6 +124,12 @@ object CoreQueries {
     }),
 
     // W3/P6: percent_rank engagement tiers (queries.py:186–209).
+    // Scale note (q11/q12): Window.orderBy with no partition funnels the
+    // post-aggregate per-user counts through ONE task — fine here because
+    // the reference semantics demand a single global rank over an
+    // already-reduced set, but at 10^9 users swap the exact rank for
+    // approx_percentile(cnt, thresholds) cutoffs and a broadcast-joined
+    // tier lookup (same tiers, no single-partition sort).
     "q11_user_tiers" -> ((s, d) => {
       val u = events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
       val r = u.withColumn("pr", percent_rank().over(Window.orderBy(col("cnt"))))

@@ -45,6 +45,50 @@ object Maintenance {
     deleted
   }
 
+  /** Rewrite the table into a NEW url-hash bucket layout (bucket split /
+    * merge): a table created with P buckets outgrows them at 100 TB —
+    * this is the Iceberg "rewrite with new partition spec" analog. One
+    * copy-on-write pass: delta overlays are LWW-resolved on the way
+    * through (readMerged), tombstones are preserved (their late-update
+    * protection is layout-independent), and the new snapshot carries
+    * `numBuckets = newBuckets` so every later merge prunes on the new
+    * layout.
+    *
+    * Lineage: per-bucket watermarks cannot be remapped (old bucket →
+    * urls is not invertible), so every new bucket gets the GLOBAL max
+    * applied seq. Correct under the WAL contract (Changelog soundness
+    * note): rebucketing changes no logical state, and any event first
+    * applied later carries a larger seq. Changelog reads SPANNING the
+    * rebucket are refused by `changesSince`'s equal-bucket-count
+    * require — a rebucket is a changelog barrier; downstream consumers
+    * re-baseline from the new snapshot (the standard CDC-out contract
+    * for a re-partitioned upstream).
+    */
+  def rebucket(spark: SparkSession, dir: String, newBuckets: Int): Snapshot = {
+    val snap = LakeTable.load(dir)
+    require(newBuckets > 0)
+    val rows = LakeTable.readMerged(spark, dir, snap)
+      .withColumn("bucket", pmod(col("url_hash"), lit(newBuckets)).cast("int"))
+    rows.persist()
+    try {
+      val touched = rows.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      val newId = snap.snapshotId + 1
+      val newFiles = LakeTable.writeBuckets(spark, dir, newId, rows, touched)
+      val maxApplied = (snap.lineage.values ++ newFiles.map(_.maxSeq))
+        .foldLeft(Long.MinValue)(math.max)
+      val s2 = snap.copy(
+        snapshotId = newId, parentId = snap.snapshotId,
+        numBuckets = newBuckets,
+        files = newFiles,
+        lineage = (0 until newBuckets).map(b => b.toString -> maxApplied).toMap,
+        liveRows = newFiles.map(_.live).sum,
+        tombstones = newFiles.map(_.tombs).sum)
+      LakeTable.commit(dir, s2, expectParent = snap.snapshotId)
+      s2
+    } finally rows.unpersist()
+  }
+
   /** Rewrite the table into one file per bucket (copy-on-write compaction),
     * optionally expiring tombstones whose warc_ts predates
     * `tombstoneHorizonMs` (epoch millis). Expired tombstones lose their

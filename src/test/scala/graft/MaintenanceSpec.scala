@@ -69,4 +69,43 @@ class MaintenanceSpec extends SparkSpec {
     MergeInto.merge(spark, dir, late, 1L)
     assert(LakeTable.readLive(spark, dir).filter($"url" === "https://a/2").count() === 0L)
   }
+
+  test("rebucket 8→32: state unchanged, new layout live, later merges + changelog work") {
+    val dir = tmpDir("maint-rb") + "/t"
+    LakeTable.create(dir, numBuckets = 8)
+    val feed = FeedGen.events(spark, cfg).toDF()
+    MergeInto.merge(spark, dir, feed.filter($"seq" < 1500L), 0L)
+    // leave a delta overlay in place so rebucket also folds MoR state
+    MergeInto.merge(spark, dir,
+      feed.filter($"seq" >= 1500L && $"seq" < 3000L), 1L, MergeInto.MergeOnRead)
+    val before = state(dir)
+    val snapBefore = LakeTable.load(dir)
+
+    val s2 = Maintenance.rebucket(spark, dir, newBuckets = 32)
+    assert(s2.numBuckets === 32)
+    assert(state(dir) === before)
+    assert(s2.committedEpochs === snapBefore.committedEpochs)
+    assert(s2.files.forall(_.kind == "base")) // overlays folded
+    // files actually live in the new layout
+    assert(s2.files.map(_.bucket).max > 7)
+
+    // a later merge prunes/writes on the NEW layout and stays correct
+    MergeInto.merge(spark, dir, feed.filter($"seq" >= 3000L), 2L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"url").orderBy($"warc_ts".desc, $"seq".desc)
+    val exp = feed.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"op" =!= "D")
+      .select($"url", $"seq", $"text").collect().map(_.toString).sorted
+    assert(state(dir) === exp)
+
+    // changelog across the rebucket is a barrier; from the rebucketed
+    // snapshot onward it works and reports exactly the new epoch's wins
+    val err = intercept[IllegalArgumentException] {
+      graft.table.Changelog.changesSince(spark, dir, snapBefore.snapshotId)
+    }
+    assert(err.getMessage.contains("re-bucket"))
+    val changes = graft.table.Changelog.changesSince(spark, dir, s2.snapshotId)
+    assert(changes.count() > 0)
+    assert(changes.agg(min($"seq")).head.getLong(0) >= 3000L)
+  }
 }
