@@ -34,9 +34,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warm the JVM/codegen once on the smallest tier so per-query numbers
-    // measure the plan, not first-call classloading
-    SparkEntry.queries.get("q01_pricing_summary")
-      .foreach(fn => fn(spark, "/root/testdata/sf0.001").count())
+    // measure the plan, not first-call classloading — one representative
+    // per operator family (agg, shingle-join, vector)
+    Seq("q01_pricing_summary", "dd03_ngram_jaccard", "dd06_embedding_neardup")
+      .foreach(n => SparkEntry.queries.get(n)
+        .foreach(fn => fn(spark, "/root/testdata/sf0.001").count()))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -68,7 +70,11 @@ object Bench {
         .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
     }
 
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_events_per_sec":${ing.backfillEps.round},"ingest_tail_events_per_sec":${ing.tailEps.round},"ingest_tail_small_sec":${f"${ing.tailSmallSec}%.2f"},"ingest_tail_small_mor":${ing.tailSmallMor},"ingest_events":${ing.events},"ingest_backfill_sec":${f"${ing.backfillSec}%.2f"},"cores":$cpus}""")
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_events_per_sec":${ing.backfillEps.round},"ingest_tail_events_per_sec":${ing.tailEps.round},"ingest_tail_small_sec":${f"${ing.tailSmallSec}%.2f"},"ingest_tail_small_mor":${ing.tailSmallMor},"ingest_events":${ing.events},"ingest_backfill_sec":${f"${ing.backfillSec}%.2f"},"cores":$cpus}"""
+    // stdout (bare line — build.sbt pins outputStrategy so sbt does not
+    // prefix it) AND a file, so the driver can parse either
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line + "\n")
     spark.stop()
   }
 }
