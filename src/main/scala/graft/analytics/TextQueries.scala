@@ -147,7 +147,8 @@ object TextQueries {
 
     // Multimodal frame sampling: binary media column → typed frames via
     // partition-local mapPartitions (decode stubbed; plumbing real).
-    // Rows-only for the driver; frame determinism asserted in spec.
+    // The stub frame hash is md5-derived, so the oracle recomputes every
+    // frame value; determinism also asserted in spec.
     "mm02_frame_extract" -> ((s, d) =>
       graft.functions.Multimodal.frameExtractQuery(s, d)),
 
@@ -261,6 +262,22 @@ object TextQueries {
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | substr(md5(text), 1, 8) AS content_key
         |FROM documents""".stripMargin,
+    // mm02: frame offsets every 256 bytes, 64-byte windows, md5-derived
+    // 60-bit frame hash (same construction as Hashing.h60), xor-folded.
+    // substr-on-VARCHAR == the byte slice because the corpus is ASCII
+    // (max codepoint 121 across all tiers — verified).
+    "mm02_frame_extract" ->
+      """WITH f AS (
+        | SELECT doc_id, text, unnest(range(0, octet_length(encode(text)), 256)) AS off
+        | FROM documents),
+        |h AS (
+        | SELECT doc_id, off,
+        |  ((CAST(('0x' || substr(md5(substr(text, CAST(off + 1 AS INTEGER), 64)), 9, 7)) AS BIGINT) << 32)
+        |   + CAST(('0x' || substr(md5(substr(text, CAST(off + 1 AS INTEGER), 64)), 1, 8)) AS BIGINT)) AS fh
+        | FROM f)
+        |SELECT doc_id, count(*) AS n_frames,
+        | CAST(max(off) AS INTEGER) AS last_off, bit_xor(fh) AS sig
+        |FROM h GROUP BY 1""".stripMargin,
     "t11_casefold_pred" ->
       """SELECT lang, count(*) AS n FROM documents
         |WHERE text = lower(text) AND length(text) > 5 GROUP BY 1""".stripMargin,

@@ -21,15 +21,22 @@ object Multimodal {
                          frame_len: Int, frame_hash: Long)
 
   /** STUB media decode: a real implementation would decode the window
-    * into pixels/samples; the stand-in is a deterministic FNV-1a hash so
-    * tests can assert plumbing correctness end-to-end.
+    * into pixels/samples; the stand-in is a deterministic 60-bit
+    * md5-derived value over the frame's bytes — the same portable-hash
+    * construction as [[graft.analytics.Hashing.h60]], so the DRIVER'S
+    * DuckDB oracle can recompute every frame hash and mm02 is
+    * value-checked end-to-end rather than rows-only.
     */
   private def decodeFrame(bytes: Array[Byte], off: Int, len: Int): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = off
     val end = math.min(off + len, bytes.length)
-    while (i < end) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
-    h
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.util.Arrays.copyOfRange(bytes, off, end))
+    // hex chars 1-8 (bytes 0-3) = low 32 bits; chars 9-15 = high 28 bits
+    val lo = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    val hi = ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+      ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+    (hi << 32) | lo
   }
 
   /** Sample fixed-size frames from a binary media column at a byte
@@ -67,6 +74,6 @@ object Multimodal {
       .agg(count(lit(1)).as("n_frames"),
         max(col("byte_off")).as("last_off"),
         // xor-fold of frame hashes: order-insensitive content signature
-        expr("aggregate(collect_list(frame_hash), 0L, (a, x) -> a ^ x)").as("sig"))
+        expr("bit_xor(frame_hash)").as("sig"))
   }
 }

@@ -23,11 +23,11 @@ class AnalyticsSpec extends SparkSpec {
 
   test("every query has an oracle or a documented rows-only reason") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // the only sanctioned oracle-less entries: the HLL sketch (engine-
-    // internal) and the stubbed multimodal decode. Everything else —
-    // including minhash/simhash/LSH — uses portable hashes (Hashing) and
-    // is oracle-checked.
-    assert(noOracle.subsetOf(Set("mm02_frame_extract", "q31_hll_distinct")),
+    // the only sanctioned oracle-less entry: the HLL sketch (engine-
+    // internal estimator). Everything else — minhash/simhash/LSH and the
+    // multimodal frame stub included — uses portable hashes (Hashing)
+    // and is oracle-checked.
+    assert(noOracle.subsetOf(Set("q31_hll_distinct")),
       s"missing oracle for: $noOracle")
   }
 
