@@ -17,36 +17,43 @@ object RollupStore {
   /** Apply one epoch: skip if `epochId` is already in the ledger,
     * otherwise compute the next state from the previous one (None before
     * the first epoch) and commit it. Returns true if applied.
+    *
+    * The applied-epoch ledger lives INSIDE the versioned state dir
+    * (`v-N/_epochs`; the leading underscore keeps parquet readers from
+    * touching it), so the atomic PTR swap commits state and ledger
+    * together — the same single-commit-point protocol as the lake
+    * table's manifest. A separate top-level ledger would open a crash
+    * window between state swap and ledger append in which a retried
+    * epoch double-applies its delta.
     */
   def applyEpoch(spark: SparkSession, rollupDir: String, epochId: Long)
                 (next: Option[DataFrame] => DataFrame): Boolean = {
     val dir = Paths.get(rollupDir)
     Files.createDirectories(dir)
-    val ledger = dir.resolve("_epochs")
-    val seen: Set[Long] =
-      if (Files.exists(ledger))
-        Files.readString(ledger).split("\n").filter(_.nonEmpty).map(_.toLong).toSet
-      else Set.empty
-    if (seen.contains(epochId)) return false
     val ptr = dir.resolve("PTR")
-    val prev =
-      if (!Files.exists(ptr)) None
-      else Some(spark.read.parquet(
-        dir.resolve(Files.readString(ptr).trim).toString))
+    val (prev, seen) =
+      if (!Files.exists(ptr)) (None, Set.empty[Long])
+      else {
+        val cur = dir.resolve(Files.readString(ptr).trim)
+        val ledger = cur.resolve("_epochs")
+        val s: Set[Long] =
+          if (Files.exists(ledger))
+            Files.readString(ledger).split("\n").filter(_.nonEmpty).map(_.toLong).toSet
+          else Set.empty
+        (Some(spark.read.parquet(cur.toString)), s)
+      }
+    if (seen.contains(epochId)) return false
     // swap: parquet dirs can't be renamed atomically over an existing
-    // target, so point reads at a versioned dir via a CURRENT-style file
+    // target, so point reads at a versioned dir via a CURRENT-style file.
+    // A crash before the swap leaves only an orphan v-dir, rewritten on
+    // retry; a crash after it has committed state+ledger atomically.
     val nextDir = dir.resolve(s"v-$epochId")
     next(prev).coalesce(1).write.mode("overwrite").parquet(nextDir.toString)
+    Files.writeString(nextDir.resolve("_epochs"),
+      (seen + epochId).toSeq.sorted.mkString("\n") + "\n")
     val ptrTmp = dir.resolve(s".ptr.tmp.$epochId")
     Files.writeString(ptrTmp, s"v-$epochId")
     Files.move(ptrTmp, ptr, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    // ledger rewrite must be atomic too: a crash mid-truncate+write would
-    // leave a partial line that wedges every later restart on toLong
-    val ledgerTmp = dir.resolve(s".epochs.tmp.$epochId")
-    Files.writeString(ledgerTmp,
-      (seen + epochId).toSeq.sorted.mkString("\n") + "\n")
-    Files.move(ledgerTmp, ledger, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     // retention: superseded v-* dirs are unreachable once PTR moved on;
     // keep the latest few for readers mid-swap, GC the rest

@@ -39,6 +39,28 @@ class AdditiveRollupSpec extends SparkSpec {
       3L -> ((1L, None))))           // new key in epoch 1
   }
 
+  test("crash before the PTR swap: retried epoch applies exactly once") {
+    val dir = tmpDir("ar-crash")
+    val combine = Seq("n" -> AdditiveRollup.add)
+    def d(v: Long) = Seq((1L, v)).toDF("k", "n")
+    def readN(): Long = AdditiveRollup.read(spark, dir).head.getLong(1)
+    AdditiveRollup.upsert(spark, dir, d(5L), Seq("k"), 0L, combine)
+    // epoch 1 commits, then we simulate a crash that happened BEFORE the
+    // PTR swap by reverting the pointer: the v-1 state dir (with its
+    // embedded ledger) is left as an orphan, exactly the crash residue
+    val ptr = java.nio.file.Paths.get(dir).resolve("PTR")
+    val preSwap = java.nio.file.Files.readString(ptr)
+    AdditiveRollup.upsert(spark, dir, d(2L), Seq("k"), 1L, combine)
+    java.nio.file.Files.writeString(ptr, preSwap) // "crash"
+    assert(readN() === 5L) // pre-crash state visible, epoch 1 invisible
+    // retry must APPLY (the committed ledger doesn't contain epoch 1) …
+    assert(AdditiveRollup.upsert(spark, dir, d(2L), Seq("k"), 1L, combine))
+    assert(readN() === 7L) // …exactly once: 5+2, not 5+2+2
+    // …and a second retry after the successful commit is a no-op
+    assert(!AdditiveRollup.upsert(spark, dir, d(2L), Seq("k"), 1L, combine))
+    assert(readN() === 7L)
+  }
+
   test("domain stats via the ingest sink across restarts == from-scratch aggregate") {
     val cfg = FeedGen.Config(seed = 21L, n = 6000L, nDomains = 25,
       pathsPerDomain = 6, dupRate = 0.05, evolveAt = 4000L, segments = 4)

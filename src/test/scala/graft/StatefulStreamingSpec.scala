@@ -57,8 +57,12 @@ class StatefulStreamingSpec extends SparkSpec {
 
     MetricsRollup.runAvailableNow(spark, s"$base/feed", s"$base/rollup",
       s"$base/ckpt", lateness = "1 hour", maxFilesPerTrigger = Some(1))
+    // the applied-epoch ledger rides inside the current version dir
+    // (committed atomically with the state by the PTR swap)
+    val curV = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$base/rollup/PTR")).trim
     val epochs = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$base/rollup/_epochs")).split("\n").count(_.nonEmpty)
+      java.nio.file.Paths.get(s"$base/rollup/$curV/_epochs")).split("\n").count(_.nonEmpty)
     info(s"epochs committed: $epochs")
     val got = MetricsRollup.read(spark, s"$base/rollup")
       .select($"hour_start".cast("long") - base0 / 1000L, $"events")
