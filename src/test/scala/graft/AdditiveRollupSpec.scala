@@ -61,6 +61,39 @@ class AdditiveRollupSpec extends SparkSpec {
     assert(readN() === 7L)
   }
 
+  test("property: any epoch partitioning + epoch redelivery == one-shot aggregate") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val genRows = Gen.listOfN(40, for {
+      k <- Gen.choose(1L, 5L)
+      n <- Gen.choose(1L, 100L)
+    } yield (k, n))
+    val combine = Seq("total" -> AdditiveRollup.add,
+      "mn" -> AdditiveRollup.minOf, "mx" -> AdditiveRollup.maxOf)
+    def delta(rows: Seq[(Long, Long)]) = rows.toDF("k", "n")
+      .groupBy($"k").agg(sum($"n").as("total"), min($"n").as("mn"), max($"n").as("mx"))
+    val prop = Prop.forAll(genRows, Gen.choose(1, 4), Gen.choose(0, 3)) {
+      (rows, nEpochs, redeliver) =>
+        val dir = tmpDir("ar-prop")
+        val slices = rows.grouped(math.max(1, rows.size / nEpochs)).toSeq
+        slices.zipWithIndex.foreach { case (sl, e) =>
+          AdditiveRollup.upsert(spark, dir, delta(sl), Seq("k"), e.toLong, combine)
+        }
+        // redeliver one already-applied epoch — must be a no-op
+        val re = redeliver % slices.size
+        AdditiveRollup.upsert(spark, dir, delta(slices(re)), Seq("k"), re.toLong, combine)
+        val got = AdditiveRollup.read(spark, dir).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        val want = rows.groupBy(_._1).map { case (k, vs) =>
+          k -> ((vs.map(_._2).sum, vs.map(_._2).min, vs.map(_._2).max))
+        }
+        got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(6).withInitialSeed(Seed(7L)), prop)
+    assert(res.passed, res.toString)
+  }
+
   test("domain stats via the ingest sink across restarts == from-scratch aggregate") {
     val cfg = FeedGen.Config(seed = 21L, n = 6000L, nDomains = 25,
       pathsPerDomain = 6, dupRate = 0.05, evolveAt = 4000L, segments = 4)
