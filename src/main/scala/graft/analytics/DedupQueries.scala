@@ -36,11 +36,24 @@ object DedupQueries {
     * the ~30-byte shingle string: 8-byte exchange keys cut shuffle bytes
     * and comparison cost (a 2^-64 hash collision perturbs one count —
     * immaterial against the 4-decimal Jaccard threshold).
+    *
+    * `maxDocFreq` is the hot-bucket valve: a shingle shared by f docs
+    * contributes O(f²) candidate pairs, and web-scale boilerplate (nav
+    * bars, disclaimers) makes f unbounded. Shingles with doc-frequency
+    * > maxDocFreq are dropped from BOTH the join and the per-doc size
+    * denominators — capped-set Jaccard, computed identically by the
+    * DuckDB oracle. The default never triggers on the test corpus
+    * (measured max doc-freq 4), so small-scale results are unchanged;
+    * at crawl scale it bounds the worst bucket at maxDocFreq² pairs.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(docs)
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+                        maxDocFreq: Int = 64): DataFrame = {
+    val shRaw = shingles(docs)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .persist()
+    val keep = shRaw.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDocFreq).select(col("shingle"))
+    val sh = shRaw.join(keep, Seq("shingle")).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -231,12 +244,14 @@ object DedupQueries {
         | FROM documents)
         |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "dd03_ngram_jaccard" ->
-      """WITH sh AS (
+      """WITH sh0 AS (
         | SELECT DISTINCT doc_id, shingle FROM (
         |  SELECT doc_id, unnest(list_transform(
         |    range(1, len(string_split(text,' ')) - 3),
         |    i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS shingle
         |  FROM documents)),
+        |keep AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 64),
+        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         |shared AS (
         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared

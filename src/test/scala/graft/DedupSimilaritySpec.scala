@@ -45,6 +45,48 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ngram Jaccard hot-shingle cap: capped-set semantics == plain-Scala oracle") {
+    import spark.implicits._
+    // one boilerplate sentence in every doc (doc-frequency = 6) plus
+    // per-doc payloads; docs 0 and 1 are genuine near-dups
+    val boiler = "all rights reserved by the site operator"
+    val texts = Seq(
+      s"$boiler alpha beta gamma delta epsilon zeta eta theta",
+      s"$boiler alpha beta gamma delta epsilon zeta eta iota",
+      s"$boiler one two three four five six seven eight",
+      s"$boiler red orange yellow green blue indigo violet pink",
+      s"$boiler north south east west up down left right",
+      s"$boiler cat dog fish bird mouse horse sheep goat")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").sliding(5).map(_.mkString(" ")).toSet
+    def scalaOracle(cap: Int): Map[(Long, Long), Double] = {
+      val all = texts.zipWithIndex.map { case (t, i) => i.toLong -> shingleSet(t) }
+      val freq = all.flatMap { case (_, s) => s.toSeq }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val capped = all.map { case (i, s) => i -> s.filter(freq(_) <= cap) }.toMap
+      (for {
+        a <- capped.keys; b <- capped.keys if a < b
+        inter = (capped(a) & capped(b)).size
+        if inter > 0
+        j = math.rint(inter.toDouble / (capped(a).size + capped(b).size - inter) * 10000) / 10000
+      } yield (a, b) -> j).toMap
+    }
+    def got(cap: Int): Map[(Long, Long), Double] =
+      DedupQueries.ngramJaccardPairs(df, 0.0, maxDocFreq = cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cap3 = got(3)
+    assert(cap3 === scalaOracle(3))
+    // the boilerplate shingles really were excluded: uncapped differs
+    val uncapped = got(1000)
+    assert(uncapped === scalaOracle(1000))
+    assert(cap3 !== uncapped)
+    // and the capped near-dup pair survives with a HIGHER jaccard than
+    // boilerplate-only pairs
+    assert(cap3((0L, 1L)) > cap3.getOrElse((2L, 3L), 0.0))
+  }
+
   test("embedding near-dup: LSH-table candidates — exact precision, useful recall") {
     val vecs = Tables.embeddings(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap

@@ -71,7 +71,9 @@ def main():
     # rows-only checks for queries without oracle
     import os
     for d in sorted(os.listdir(outdir)):
-        if d in oracle or d == "oracle_sql.json":
+        # skip oracle file, export manifest, and csv/json export variants
+        if d in oracle or not os.path.isdir(os.path.join(outdir, d)) \
+                or d.endswith(".csv") or d.endswith(".json"):
             continue
         files = glob.glob(f"{outdir}/{d}/*.parquet")
         if not files:
