@@ -70,7 +70,7 @@ object Bench {
         .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
     }
 
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_events_per_sec":${ing.backfillEps.round},"ingest_tail_events_per_sec":${ing.tailEps.round},"ingest_tail_small_sec":${f"${ing.tailSmallSec}%.2f"},"ingest_tail_small_mor":${ing.tailSmallMor},"ingest_events":${ing.events},"ingest_backfill_sec":${f"${ing.backfillSec}%.2f"},"cores":$cpus}"""
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_events_per_sec":${ing.backfillEps.round},"ingest_tail_events_per_sec":${ing.tailEps.round},"ingest_tail_small_sec":${f"${ing.tailSmallSec}%.2f"},"ingest_tail_small_mor":${ing.tailSmallMor},"ingest_events":${ing.events},"ingest_backfill_sec":${f"${ing.backfillSec}%.2f"},"read_live_sec":${f"${ing.readLiveSec}%.2f"},"read_live_mor_sec":${f"${ing.readLiveOverlaySec}%.2f"},"cores":$cpus}"""
     // stdout (bare line — build.sbt pins outputStrategy so sbt does not
     // prefix it) AND a file, so the driver can parse either
     println(line)

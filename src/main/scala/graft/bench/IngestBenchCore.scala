@@ -17,7 +17,8 @@ object IngestBenchCore {
       events: Long, cores: Int,
       feedgenSec: Double, backfillSec: Double, tailSec: Double,
       backfillEps: Double, tailEps: Double, liveRows: Long,
-      tailSmallSec: Double, tailSmallEps: Double, tailSmallMor: Boolean)
+      tailSmallSec: Double, tailSmallEps: Double, tailSmallMor: Boolean,
+      readLiveSec: Double, readLiveOverlaySec: Double)
 
   def run(spark: SparkSession, n: Long, cores: Int, baseDir: String): Result = {
     val feedDir = s"$baseDir/feed"
@@ -61,9 +62,29 @@ object IngestBenchCore {
 
     val snap = LakeTable.load(tableDir)
     val usedMor = snap.files.exists(_.kind == "delta")
+
+    // read-side merge tax: time the live read on the table as the
+    // ingest left it (clean or lightly-dirty), then FORCE one more
+    // merge-on-read overlay epoch and time it again — the delta is the
+    // marginal cost of the generation-tagged LWW collapse the overlay
+    // adds to every read until compaction folds it.
+    val t4 = System.nanoTime()
+    LakeTable.readLive(spark, tableDir).count()
+    val tReadLive = (System.nanoTime() - t4) / 1e9
+    val microN = math.max(n / 2048, 1L)
+    val cfg5 = cfg.copy(n = n + tailN + smallN + microN)
+    val extra3 = spark.range(n + tailN + smallN, cfg5.n, 1, cores)
+      .map(i => FeedGen.event(cfg5, i)).toDF()
+    graft.operators.MergeInto.merge(spark, tableDir,
+      graft.operators.MergeInto.alignToLatest(extra3), 999999L,
+      graft.operators.MergeInto.MergeOnRead)
+    val t5 = System.nanoTime()
+    LakeTable.readLive(spark, tableDir).count()
+    val tReadOverlay = (System.nanoTime() - t5) / 1e9
+
     Result(n, cores, tGen, tBackfill, tTail,
       n / tBackfill, tailN / tTail, snap.liveRows,
-      tSmall, smallN / tSmall, usedMor)
+      tSmall, smallN / tSmall, usedMor, tReadLive, tReadOverlay)
   }
 }
 
@@ -97,7 +118,7 @@ object IngestBench {
     val base = java.nio.file.Files.createTempDirectory("graft-ibench").toString
     val r = IngestBenchCore.run(spark, n, cores, base)
     println(
-      s"""{"metric":"ingest_events_per_sec","value":${r.backfillEps.round},"unit":"events/sec","cores":${r.cores},"events":${r.events},"feedgen_sec":${f"${r.feedgenSec}%.2f"},"backfill_sec":${f"${r.backfillSec}%.2f"},"tail_sec":${f"${r.tailSec}%.2f"},"tail_events_per_sec":${r.tailEps.round},"tail_small_sec":${f"${r.tailSmallSec}%.2f"},"tail_small_events_per_sec":${r.tailSmallEps.round},"tail_small_mor":${r.tailSmallMor},"live_rows":${r.liveRows}}""")
+      s"""{"metric":"ingest_events_per_sec","value":${r.backfillEps.round},"unit":"events/sec","cores":${r.cores},"events":${r.events},"feedgen_sec":${f"${r.feedgenSec}%.2f"},"backfill_sec":${f"${r.backfillSec}%.2f"},"tail_sec":${f"${r.tailSec}%.2f"},"tail_events_per_sec":${r.tailEps.round},"tail_small_sec":${f"${r.tailSmallSec}%.2f"},"tail_small_events_per_sec":${r.tailSmallEps.round},"tail_small_mor":${r.tailSmallMor},"read_live_sec":${f"${r.readLiveSec}%.2f"},"read_live_mor_sec":${f"${r.readLiveOverlaySec}%.2f"},"live_rows":${r.liveRows}}""")
     spark.stop()
   }
 }
