@@ -134,7 +134,8 @@ object FeedGen {
     * file — no sort, no shuffle, no re-scan; generation parallelism ==
     * segment count at any n.
     */
-  def writeSegments(spark: SparkSession, cfg: Config, dir: String): Seq[String] = {
+  def writeSegments(spark: SparkSession, cfg: Config, dir: String,
+                    format: String = "parquet"): Seq[String] = {
     import java.nio.file.{Files, Paths}
     Files.createDirectories(Paths.get(dir, "wal"))
     val per = math.max(1L, (cfg.n + cfg.segments - 1) / cfg.segments)
@@ -147,36 +148,39 @@ object FeedGen {
     var out = List.empty[String]
     if (b > 0)
       out ++= moveParts(
-        write(gen(0L, b, k1).drop("extra_score"), s"$dir/.tmp_v1"),
-        s"$dir/wal", "a")
+        write(gen(0L, b, k1).drop("extra_score"), s"$dir/.tmp_v1", format),
+        s"$dir/wal", "a", format)
     if (b < cfg.n)
       out ++= moveParts(
-        write(gen(b, cfg.n, cfg.segments - k1), s"$dir/.tmp_v2"),
-        s"$dir/wal", "b")
+        write(gen(b, cfg.n, cfg.segments - k1), s"$dir/.tmp_v2", format),
+        s"$dir/wal", "b", format)
     out
   }
 
   /** Append one more WAL segment (tail arrival) from an event DataFrame. */
   def appendSegment(spark: SparkSession, dir: String,
-                    df: org.apache.spark.sql.DataFrame, tag: String): Seq[String] =
-    moveParts(write(df, s"$dir/.tmp_$tag"), s"$dir/wal", tag)
+                    df: org.apache.spark.sql.DataFrame, tag: String,
+                    format: String = "parquet"): Seq[String] =
+    moveParts(write(df, s"$dir/.tmp_$tag", format), s"$dir/wal", tag, format)
 
-  private def write(df: org.apache.spark.sql.DataFrame, tmp: String): String = {
-    df.write.mode("overwrite").parquet(tmp)
+  private def write(df: org.apache.spark.sql.DataFrame, tmp: String,
+                    format: String): String = {
+    df.write.mode("overwrite").format(format).save(tmp)
     tmp
   }
 
   /** Move part files out of a temp write dir into wal/ as uniquely named
     * segment files; delete the temp dir.
     */
-  private def moveParts(tmp: String, wal: String, tag: String): List[String] = {
+  private def moveParts(tmp: String, wal: String, tag: String,
+                        format: String): List[String] = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     Files.createDirectories(Paths.get(wal))
     val parts = Files.list(Paths.get(tmp)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toList.sortBy(_.toString)
+      .filter(_.getFileName.toString.endsWith(s".$format")).toList.sortBy(_.toString)
     val moved = parts.zipWithIndex.map { case (p, i) =>
-      val dst = Paths.get(wal, f"seg_${tag}_$i%05d.parquet")
+      val dst = Paths.get(wal, f"seg_${tag}_$i%05d.$format")
       Files.move(p, dst, StandardCopyOption.ATOMIC_MOVE)
       dst.toString
     }

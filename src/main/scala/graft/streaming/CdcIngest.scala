@@ -47,13 +47,17 @@ object CdcIngest {
             trigger: Trigger = Trigger.AvailableNow(),
             mode: MergeInto.MergeMode = MergeInto.Auto,
             transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity,
-            statsDir: Option[String] = None): StreamingQuery = {
+            statsDir: Option[String] = None,
+            feedFormat: String = "parquet"): StreamingQuery = {
     if (!LakeTable.exists(tableDir)) LakeTable.create(tableDir, numBuckets)
     var reader = spark.readStream
       .schema(CdcSchema.latest)
       .option("recursiveFileLookup", "false")
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
-    val feed = reader.parquet(s"$feedDir/wal")
+    // WAL archive format: parquet (default) or JSONL segments — binary
+    // html rides base64 through JSON and round-trips byte-identically
+    // (TailModeSpec). CSV is refused upstream: it cannot carry binary.
+    val feed = reader.format(feedFormat).load(s"$feedDir/wal")
     feed.writeStream
       .queryName(s"cdc-ingest-${java.util.UUID.randomUUID().toString.take(8)}")
       .option("checkpointLocation", checkpointDir)
