@@ -228,6 +228,33 @@ object LakeTable {
       .drop("tombstone")
   }
 
+  /** Live rows with `warc_ts` in [fromMs, toMs], pruned at the MANIFEST
+    * level: clean copy-on-write files whose [minTs, maxTs] stats miss the
+    * range are never opened (the time-axis analog of bucket pruning —
+    * SURVEY §4 "file-level min/max pruning on url_hash/warc_ts"). A
+    * time-slice dashboard query over a 100 TB table reads only the files
+    * that can contain qualifying winners. Delta-carrying buckets are read
+    * whole — their LWW resolution needs every row of the bucket — and the
+    * residual filter applies after the collapse, so results are identical
+    * to filtering the unpruned live view.
+    */
+  def readLiveInRange(spark: SparkSession, dir: String,
+                      fromMs: Long, toMs: Long): DataFrame = {
+    val snap = load(dir)
+    val dirtyBuckets = snap.files.filter(_.kind == "delta").map(_.bucket).toSet
+    // manifest ts stats are second-truncated (cast long): stored min ≤
+    // true min always, but stored max can undershoot by up to 999 ms —
+    // widen the max bound so pruning stays conservative
+    val keep = snap.files.filter(f =>
+      dirtyBuckets.contains(f.bucket) ||
+        (f.minTsMs <= toMs && f.maxTsMs + 999L >= fromMs))
+    readMerged(spark, dir, snap.copy(files = keep))
+      .filter(!col("tombstone") &&
+        unix_millis(col("warc_ts")) >= fromMs &&
+        unix_millis(col("warc_ts")) <= toMs)
+      .drop("tombstone")
+  }
+
   def bucketOf(urlCol: org.apache.spark.sql.Column, numBuckets: Int) =
     pmod(xxhash64(urlCol), lit(numBuckets)).cast("int")
 

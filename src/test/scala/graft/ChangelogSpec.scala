@@ -104,4 +104,40 @@ class ChangelogSpec extends SparkSpec {
     val (_, dir, snaps) = setup()
     assert(Changelog.changesSince(spark, dir, snaps.last).count() === 0L)
   }
+
+  test("time-range live read prunes files by manifest ts stats, result identical") {
+    import graft.model.CdcSchema
+    import graft.operators.MergeInto
+    val dir = tmpDir("ts-range") + "/t"
+    LakeTable.create(dir, numBuckets = 4)
+    val cols = CdcSchema.latest.fieldNames
+    def ev(seq: Long, url: String, tsMs: Long) =
+      (seq, "U", url, new java.sql.Timestamp(tsMs), null: Array[Byte],
+        s"t$seq", "en", null.asInstanceOf[java.lang.Double])
+    // epoch 0: an "old era" batch; epoch 1: a "new era" batch on OTHER
+    // urls — different buckets get files with disjoint ts ranges
+    val oldEra = (0 until 8).map(i => ev(i.toLong, s"https://old$i/x", 1000000L + i * 1000L))
+    val newEra = (0 until 8).map(i => ev(100L + i, s"https://new$i/x", 9000000L + i * 1000L))
+    MergeInto.merge(spark, dir, oldEra.toDF(cols: _*), 0L, MergeInto.CopyOnWrite)
+    MergeInto.merge(spark, dir, newEra.toDF(cols: _*), 1L, MergeInto.CopyOnWrite)
+
+    val pruned = LakeTable.readLiveInRange(spark, dir, 0L, 2000000L)
+    val unpruned = LakeTable.readLive(spark, dir)
+      .filter(unix_millis($"warc_ts") <= 2000000L)
+    assert(key(pruned) === key(unpruned))
+    assert(pruned.count() === 8L)
+    // pruning really skipped the new-era files
+    val allFiles = LakeTable.readLive(spark, dir).inputFiles.length
+    assert(pruned.inputFiles.length < allFiles,
+      s"expected fewer than $allFiles files after ts pruning")
+
+    // delta-carrying buckets are read whole and still filter correctly
+    MergeInto.merge(spark, dir,
+      Seq(ev(200L, "https://old0/x", 9500000L)).toDF(cols: _*), 2L,
+      MergeInto.MergeOnRead)
+    val afterDelta = LakeTable.readLiveInRange(spark, dir, 0L, 2000000L)
+    // old0 moved out of the range (its winner is now the 9500s update)
+    assert(afterDelta.count() === 7L)
+    assert(afterDelta.filter($"url" === "https://old0/x").count() === 0L)
+  }
 }
