@@ -96,12 +96,31 @@ object MergeInto {
     */
   val BroadcastKeyLimit: Long = 4000000L
 
-  /** Salt factor for the fallback join's shuffle key: a hot url's
-    * payload spreads over this many partitions (pmod(seq, S) on both
-    * sides — equal seqs salt identically, so winners always meet their
-    * key).
+  /** Minimum salt factor for the fallback join's shuffle key: a hot
+    * url's payload spreads over at least this many partitions
+    * (pmod(seq, S) on both sides — equal seqs salt identically, so
+    * winners always meet their key). The factor ADAPTS per batch from
+    * the heavy-hitter count the phase-A aggregate already produces
+    * (SURVEY §7.4 "salting factor adaptive per batch"): see
+    * [[saltFactorFor]].
     */
   val FallbackSaltFactor: Int = 16
+
+  /** Rows of one url we are willing to leave on a single (url, salt)
+    * partition before widening the salt.
+    */
+  val TargetRowsPerSalt: Long = 2000000L
+
+  /** Adaptive salt: enough partitions that the batch's hottest url
+    * spreads to ≤ TargetRowsPerSalt rows per partition, clamped to
+    * [FallbackSaltFactor, 1024]. A Zipf-head crawl domain with 10^9
+    * events in one backfill epoch gets S=512 instead of drowning 1/16th
+    * of the cluster.
+    */
+  def saltFactorFor(maxEventsPerUrl: Long): Int = {
+    val needed = (maxEventsPerUrl + TargetRowsPerSalt - 1) / TargetRowsPerSalt
+    math.min(1024L, math.max(FallbackSaltFactor.toLong, needed)).toInt
+  }
 
   def merge(spark: SparkSession, tableDir: String, batchIn: DataFrame,
             epochId: Long, mode: MergeMode = Auto,
@@ -176,7 +195,8 @@ object MergeInto {
         sum(col("_n_events")).as("events"),
         sum(when(col("_tomb"), 1L).otherwise(0L)).as("dels"),
         count(lit(1)).as("keys"),
-        max(col("_max_seq")).as("maxSeq")).collect()
+        max(col("_max_seq")).as("maxSeq"),
+        max(col("_n_events")).as("maxUrl")).collect()
       phase("keyAgg+bstats")
       if (bstats.isEmpty) {
         val s2 = snap.copy(
@@ -193,6 +213,9 @@ object MergeInto {
       val nKeys = bstats.map(_.getLong(3)).sum
       val upsW = nKeys - delW
       val batchLineage = bstats.map(r => r.getInt(0).toString -> r.getLong(4)).toMap
+      // heavy-hitter probe (free: same collect): the hottest url's event
+      // count sets the fallback-join salt width for this epoch
+      val saltF = saltFactorFor(bstats.map(_.getLong(5)).max)
 
       // Write-path choice (manifest stats only — zero extra jobs).
       val touchedFiles = snap.files.filter(f => touchedSet.contains(f.bucket))
@@ -241,9 +264,9 @@ object MergeInto {
           // salt identically; rows on other salts are losers by
           // definition. The residual seq check rejects salt collisions.
           val keys = keyAgg.select(col("url").as("_k_url"), col("_w_seq"),
-            pmod(col("_w_seq"), lit(FallbackSaltFactor)).as("_k_salt"))
+            pmod(col("_w_seq"), lit(saltF)).as("_k_salt"))
           val salted = rows.withColumn("_salt",
-            pmod(col("seq"), lit(FallbackSaltFactor)))
+            pmod(col("seq"), lit(saltF)))
           salted.join(keys.hint("SHUFFLE_HASH"),
               salted("url") === keys("_k_url") &&
                 salted("_salt") === keys("_k_salt") &&
@@ -335,9 +358,9 @@ object MergeInto {
             .drop("_m_url", "_m_e")
         else {
           val mSalted = unionAll.withColumn("_salt",
-            pmod(col("_e"), lit(FallbackSaltFactor)))
+            pmod(col("_e"), lit(saltF)))
           val kSalted = uKeys.withColumn("_k_salt",
-            pmod(col("_m_e"), lit(FallbackSaltFactor)))
+            pmod(col("_m_e"), lit(saltF)))
           mSalted.join(kSalted.hint("SHUFFLE_HASH"),
               mSalted("url") === kSalted("_m_url") &&
                 mSalted("_salt") === kSalted("_k_salt") &&

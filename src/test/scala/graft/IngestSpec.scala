@@ -56,6 +56,36 @@ class IngestSpec extends SparkSpec {
       sortedState(LakeTable.readLive(spark, t2)))
   }
 
+  test("adaptive fallback salt: width tracks the heavy hitter; hot-key merge correct") {
+    assert(MergeInto.saltFactorFor(1L) === 16)
+    assert(MergeInto.saltFactorFor(2000000L) === 16)
+    assert(MergeInto.saltFactorFor(40000000L) === 20)
+    assert(MergeInto.saltFactorFor(10000000000L) === 1024)
+    // one url carries almost the whole batch (crawl-hot domain) and the
+    // broadcast ceiling is forced off — the salted fallback join must
+    // still resolve the exact LWW winner
+    val dir = tmpDir("salt-hot")
+    LakeTable.create(dir, numBuckets = 4)
+    val cols = CdcSchema.latest.fieldNames
+    def hot(lo: Long, hi: Long) = spark.range(lo, hi).toDF("i").select(
+      col("i").as("seq"), lit("U").as("op"),
+      lit("https://hot.example.com/x").as("url"),
+      timestamp_seconds(lit(1000L) + col("i") % 7).as("warc_ts"),
+      lit(null).cast("binary").as("html"),
+      concat(lit("v"), col("i")).as("text"), lit("en").as("lang"),
+      lit(null).cast("double").as("extra_score"))
+    // ts = 1000 + (seq % 7): max ts 1006 first reached at seq 6, last at
+    // the largest seq ≡ 6 (mod 7) — ties break on seq
+    val b1 = hot(0L, 2500L).select(cols.map(col).toIndexedSeq: _*)
+    val b2 = hot(2500L, 5000L).select(cols.map(col).toIndexedSeq: _*)
+    MergeInto.merge(spark, dir, b1, 0L, broadcastKeyLimit = 0L)
+    MergeInto.merge(spark, dir, b2, 1L, broadcastKeyLimit = 0L)
+    val rows = LakeTable.readLive(spark, dir).collect()
+    val expSeq = (0L until 5000L).filter(i => i % 7 == 6L).max
+    assert(rows.length === 1 && rows(0).getAs[Long]("seq") === expSeq)
+    assert(rows(0).getAs[String]("text") === s"v$expSeq")
+  }
+
   test("batch merge over 4 epochs matches naive LWW oracle; retry idempotent") {
     val feedDir = tmpDir("feed")
     val tableDir = tmpDir("table")
