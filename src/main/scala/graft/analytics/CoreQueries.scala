@@ -143,6 +143,30 @@ object CoreQueries {
         .agg(count(lit(1)).as("users"), round(avg(col("cnt")), 4).as("avg_events"))
     }),
 
+    // The 10^9-user variant of the q11 tier ladder: percentile THRESHOLDS
+    // (one scalar-row aggregate, broadcast back) instead of a global-rank
+    // window — no single-partition sort of all users. `percentile` is the
+    // exact aggregate so the DuckDB quantile_cont oracle matches
+    // bit-for-bit; at true 10^9 scale swap in approx_percentile
+    // (one line, same plan shape).
+    "q35_user_tiers_scalable" -> ((s, d) => {
+      val u = events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val th = u.agg(
+        expr("percentile(cnt, 0.9)").as("p90"),
+        expr("percentile(cnt, 0.7)").as("p70"),
+        expr("percentile(cnt, 0.4)").as("p40"),
+        expr("percentile(cnt, 0.1)").as("p10"))
+      u.crossJoin(broadcast(th))
+        .withColumn("tier",
+          when(col("cnt") >= col("p90"), "power_user")
+            .when(col("cnt") >= col("p70"), "active")
+            .when(col("cnt") >= col("p40"), "regular")
+            .when(col("cnt") >= col("p10"), "occasional")
+            .otherwise("lurker"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("users"), round(avg(col("cnt")), 4).as("avg_events"))
+    }),
+
     // W5: NTILE quintiles (chat_analytics_strategy.md:276–299); unique
     // tie-break (cnt, user_id) keeps bucket assignment deterministic.
     "q12_ntile_quintiles" -> ((s, d) => {
@@ -457,6 +481,16 @@ object CoreQueries {
       """SELECT user_id, min(ts) AS first_seen, max(ts) AS last_seen,
         | count(*) AS total_events, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    "q35_user_tiers_scalable" ->
+      """WITH u AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |th AS (SELECT quantile_cont(cnt, 0.9) AS p90, quantile_cont(cnt, 0.7) AS p70,
+        |  quantile_cont(cnt, 0.4) AS p40, quantile_cont(cnt, 0.1) AS p10 FROM u)
+        |SELECT CASE WHEN cnt >= p90 THEN 'power_user'
+        |  WHEN cnt >= p70 THEN 'active'
+        |  WHEN cnt >= p40 THEN 'regular'
+        |  WHEN cnt >= p10 THEN 'occasional' ELSE 'lurker' END AS tier,
+        | count(*) AS users, round(avg(cnt), 4) AS avg_events
+        |FROM u, th GROUP BY 1""".stripMargin,
     "q28_null_guards" ->
       """SELECT l_returnflag,
         | round(sum(l_extendedprice) / nullif(sum(l_quantity), 0), 4) AS price_per_qty,

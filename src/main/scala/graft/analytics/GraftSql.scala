@@ -1,0 +1,50 @@
+package graft.analytics
+
+import org.apache.spark.sql.SparkSession
+import graft.table.LakeTable
+
+/** The `spark.sql(...)` surface: temp views over the testdata star
+  * schema and over a lake table's read paths, plus the engine's native
+  * functions (vec_dot / vec_cosine / lww_seq) in the session registry —
+  * so every analytics query is writable as plain SQL against the same
+  * plans the DataFrame API produces.
+  *
+  * Reference analog: the analytics executor binds raw SQL against the
+  * SQLite file (/root/reference/convoetl/analytics/sqlite/
+  * executor.py:32–70); here views + Catalyst give the same ergonomics
+  * without a serving database. (For spark-submit users the same
+  * functions also arrive via `spark.sql.extensions=
+  * graft.plans.GraftExtensions` with no code at all.)
+  */
+object GraftSql {
+
+  val TestTables: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  def registerFunctions(spark: SparkSession): Unit = {
+    graft.plans.VectorFunctions.register(spark)
+    graft.plans.LwwFunctions.register(spark)
+  }
+
+  /** Register every testdata table under its own name. */
+  def registerTestdata(spark: SparkSession, sfDir: String): Unit = {
+    registerFunctions(spark)
+    TestTables.foreach(t =>
+      Tables.t(spark, sfDir, t).createOrReplaceTempView(t))
+  }
+
+  /** Register a lake table's views: `<name>_live` (latest state),
+    * `<name>_raw` (merged rows incl. tombstones). Views capture the
+    * CURRENT snapshot at registration time (snapshot isolation — re-run
+    * to see later commits).
+    */
+  def registerLake(spark: SparkSession, tableDir: String,
+                   name: String = "lake"): Unit = {
+    registerFunctions(spark)
+    LakeTable.readLive(spark, tableDir).createOrReplaceTempView(s"${name}_live")
+    val snap = LakeTable.load(tableDir)
+    LakeTable.readMerged(spark, tableDir, snap)
+      .createOrReplaceTempView(s"${name}_raw")
+  }
+}
