@@ -20,7 +20,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val entries = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-      try Some(graft.sources.ResultExport.export(
+      try Some(graft.sources.ResultExport.exportResult(
         fn(spark, sfDir), outDir, name, formats))
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -38,7 +38,7 @@ object ResultExport {
   /** Write `df` under `outDir/<name>[.fmt]` in each format; returns the
     * manifest entry. Formats: parquet | csv | json.
     */
-  def export(df: DataFrame, outDir: String, name: String,
+  def exportResult(df: DataFrame, outDir: String, name: String,
              formats: Seq[String]): Entry = {
     val out = df.coalesce(1).persist()
     try {

@@ -15,7 +15,7 @@ class ResultExportSpec extends SparkSpec {
     val df = Seq((1L, "a,b\"c", Seq(1, 2), Array[Byte](1, 2, 3)),
         (2L, "plain", Seq(3), Array[Byte](4)))
       .toDF("id", "txt", "arr", "bin")
-    val e = ResultExport.export(df, out, "r1", Seq("parquet", "csv", "json"))
+    val e = ResultExport.exportResult(df, out, "r1", Seq("parquet", "csv", "json"))
     assert(e.rows === 2L && e.columns === Seq("id", "txt", "arr", "bin"))
     ResultExport.writeManifest(out, Seq(e))
 
