@@ -233,6 +233,32 @@ object DedupQueries {
     "dd06_embedding_neardup" -> ((s, d) => embeddingNearDupPairs(s, d, 0.4))
   )
 
+  /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the SQL
+    * twin of [[ngramJaccardPairs]] (incl. the doc-frequency cap), shared
+    * by the dd03 oracle and the t13 curation oracle.
+    */
+  private[analytics] def jaccardPairsSqlCtes(threshold: Double): String =
+    s"""sh0 AS (
+       | SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, len(string_split(text,' ')) - 3),
+       |    i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS shingle
+       |  FROM documents)),
+       |keep AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 64),
+       |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |shared AS (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       | GROUP BY 1,2),
+       |pairs AS (
+       | SELECT doc_a, doc_b,
+       |  round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+       | FROM shared
+       | JOIN sizes sa ON sa.doc_id = doc_a
+       | JOIN sizes sb ON sb.doc_id = doc_b
+       | WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= $threshold)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dd01_exact_summary" ->
       """SELECT count(*) AS n_total, count(DISTINCT md5(text)) AS n_distinct,
@@ -244,25 +270,8 @@ object DedupQueries {
         | FROM documents)
         |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "dd03_ngram_jaccard" ->
-      """WITH sh0 AS (
-        | SELECT DISTINCT doc_id, shingle FROM (
-        |  SELECT doc_id, unnest(list_transform(
-        |    range(1, len(string_split(text,' ')) - 3),
-        |    i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS shingle
-        |  FROM documents)),
-        |keep AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 64),
-        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        |shared AS (
-        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        | GROUP BY 1,2)
-        |SELECT doc_a, doc_b,
-        | round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
-        |FROM shared
-        |JOIN sizes sa ON sa.doc_id = doc_a
-        |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.8""".stripMargin,
+      s"""WITH ${jaccardPairsSqlCtes(0.8)}
+         |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
     "dd04_minhash_lsh" -> {
       val minCols = (0 until MinhashK)
         .map(i => s"min(${Hashing.uhSql(i, "h")}) AS mh_$i").mkString(",\n |  ")

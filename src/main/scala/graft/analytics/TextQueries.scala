@@ -26,6 +26,18 @@ object TextQueries {
   private def hitCount(c: Column, stops: Seq[String]): Column =
     size(filter(words(c), w => w.isInCollection(stops)))
 
+  /** Quality score: length score (0.6 weight, saturating at 500 chars) +
+    * English-stopword ratio (0.4) — shared by t08 and the curation
+    * pipeline (t13).
+    */
+  private def qualityCol: Column = {
+    val w = words(col("text"))
+    val stopRatio = hitCount(lower(col("text")), stopEn).cast("double") /
+      nullif(size(w), lit(0))
+    val lenScore = least(length(col("text")).cast("double") / 500.0, lit(1.0))
+    round(lenScore * 0.6 + stopRatio * 0.4, 4)
+  }
+
   /** Rolling polynomial fingerprint over the word stream, mod 1e9+7 —
     * matches the DuckDB list_reduce oracle exactly because both fold
     * left-to-right with the same word valuation (first-char codepoint
@@ -113,17 +125,25 @@ object TextQueries {
     }),
 
     // Training-data op: quality scoring (length/stopword-ratio mix).
-    "t08_quality_score" -> ((s, d) => {
-      val w = words(col("text"))
-      val stopRatio = hitCount(lower(col("text")), stopEn).cast("double") /
-        nullif(size(w), lit(0))
-      val lenScore = least(length(col("text")).cast("double") / 500.0, lit(1.0))
+    "t08_quality_score" -> ((s, d) => documents(s, d)
+      .withColumn("quality", qualityCol)
+      .withColumn("bucket", floor(col("quality") * 10).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), round(avg(col("quality")), 4).as("avg_q"))),
+
+    // The training-data pipeline END-TO-END: corpus curation = exact
+    // near-dup removal (keep the smaller doc_id of every n-gram-Jaccard
+    // pair) ∘ quality gate ∘ token accounting — the composed flow a
+    // 100 TB curation job runs, here as one oracle-checked query.
+    "t13_corpus_curation" -> ((s, d) => {
+      val dupLosers = DedupQueries.ngramJaccardPairs(documents(s, d), 0.8)
+        .select(col("doc_b").as("doc_id")).distinct()
       documents(s, d)
-        .withColumn("quality",
-          round(lenScore * 0.6 + stopRatio * 0.4, 4))
-        .withColumn("bucket", floor(col("quality") * 10).cast("long"))
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"), round(avg(col("quality")), 4).as("avg_q"))
+        .withColumn("quality", qualityCol)
+        .join(dupLosers, Seq("doc_id"), "left_anti")
+        .filter(col("quality") >= 0.5)
+        .select(col("doc_id"), col("quality"),
+          size(words(col("text"))).cast("long").as("ws_tokens"))
     }),
 
     // Training-data op: token counting — whitespace + BPE-ish regex.
@@ -243,6 +263,19 @@ object TextQueries {
          |SELECT CAST(floor(quality * 10) AS BIGINT) AS bucket, count(*) AS n,
          | round(avg(quality),4) AS avg_q
          |FROM q GROUP BY 1""".stripMargin
+    },
+    "t13_corpus_curation" -> {
+      val hits = stopEn.map(w => s"'$w'")
+        .mkString("len(list_filter(string_split(lower(text),' '), w -> w IN (", ",", ")))")
+      s"""WITH ${DedupQueries.jaccardPairsSqlCtes(0.8)},
+         |losers AS (SELECT DISTINCT doc_b FROM pairs),
+         |q AS (SELECT doc_id, round(
+         |  least(length(text) / 500.0, 1.0) * 0.6 +
+         |  ($hits * 1.0 / nullif(len(string_split(text,' ')),0)) * 0.4, 4) AS quality,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens
+         | FROM documents)
+         |SELECT doc_id, quality, ws_tokens FROM q
+         |WHERE quality >= 0.5 AND doc_id NOT IN (SELECT doc_b FROM losers)""".stripMargin
     },
     "t09_token_count" ->
       """SELECT doc_id,
