@@ -296,9 +296,16 @@ object CoreQueries {
       // at-least-once redelivery of epoch 1: ledger makes it a no-op
       AdditiveRollup.upsert(s, dir, delta(e.filter(col("event_id") % 2 =!= 0)),
         Seq("user_id"), 1L, combine)
-      AdditiveRollup.read(s, dir).select(col("user_id"), col("first_seen"),
-        col("last_seen"), col("total_events"),
+      val res = AdditiveRollup.read(s, dir).select(col("user_id"),
+        col("first_seen"), col("last_seen"), col("total_events"),
         round(col("sum_value"), 4).as("sum_value"))
+      // rollup cardinality is bounded by the user domain: materialize and
+      // drop the scratch dir so repeated runs leave nothing behind
+      val rows = res.collect()
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
     }),
 
     // P7: NULLIF/COALESCE guards (queries.py:308–310; sqlite.py:226–227).
