@@ -77,4 +77,35 @@ class LwwPropertySpec extends SparkSpec {
         got == scalaOracle(evs)
     })
   }
+
+  test("random CoW/MoR mode per epoch + cross-epoch duplication: same state") {
+    // the few-keys generator already forces same-(warc_ts, seq) dup
+    // redeliveries across epoch boundaries; the mode die adds every
+    // write-path interleaving (base∪delta generations) on top
+    check("mode-mix")(Prop.forAll(
+      Gen.listOfN(40, genEv), Gen.choose(2, 4),
+      Gen.listOfN(5, Gen.choose(0, 2)), Gen.choose(0, 4)) {
+      (evs, nEpochs, modeDie, dupFrom) =>
+        val dir = tmpDir("prop-mix") + "/t"
+        LakeTable.create(dir, numBuckets = 4)
+        // duplicate a slice of earlier events into the LAST epoch — the
+        // at-least-once redelivery crossing a write-path boundary
+        val chunks0 = evs.grouped(math.max(1, evs.size / nEpochs)).toList
+        val redelivered = evs.drop(dupFrom).take(4)
+        val chunks = chunks0.init :+ (chunks0.last ++ redelivered)
+        chunks.zipWithIndex.foreach { case (chunk, e) =>
+          val mode = modeDie(e % modeDie.size) match {
+            case 0 => MergeInto.CopyOnWrite
+            case 1 => MergeInto.MergeOnRead
+            case _ => MergeInto.Auto
+          }
+          MergeInto.merge(spark, dir, toDf(chunk), e.toLong, mode)
+        }
+        val live = LakeTable.readLive(spark, dir)
+          .select($"url", $"seq").collect()
+        val got = live.map(r => (r.getString(0), r.getLong(1))).toMap
+        // no duplicated urls, and exact LWW state
+        live.length == got.size && got == scalaOracle(evs)
+    })
+  }
 }

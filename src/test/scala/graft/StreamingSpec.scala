@@ -47,6 +47,27 @@ class StreamingSpec extends SparkSpec {
     assert(full(s"$base/t1").nonEmpty)
   }
 
+  test("streaming resumes across a mid-stream rebucket; state stays exact") {
+    val c = cfg.copy(seed = 44L, n = 4000L)
+    val base = tmpDir("stream-rb")
+    FeedGen.writeSegments(spark, c, s"$base/feed")
+    CdcIngest.runAvailableNow(spark, s"$base/feed", s"$base/t", s"$base/c",
+      numBuckets = 8)
+    // operational resize while the stream is stopped (the realistic
+    // maintenance window), then the checkpointed stream resumes onto the
+    // 32-bucket layout
+    graft.table.Maintenance.rebucket(spark, s"$base/t", newBuckets = 32)
+    val c2 = c.copy(n = 5000L)
+    FeedGen.appendSegment(spark, s"$base/feed",
+      FeedGen.events(spark, c2).toDF().filter($"seq" >= 3995L), "t1")
+    CdcIngest.runAvailableNow(spark, s"$base/feed", s"$base/t", s"$base/c",
+      numBuckets = 8) // creation-time bucket arg ignored: table exists
+    val snap = LakeTable.load(s"$base/t")
+    assert(snap.numBuckets === 32)
+    assert(key(LakeTable.readLive(spark, s"$base/t")) ===
+      key(oracle(FeedGen.readFeed(spark, s"$base/feed"))))
+  }
+
   test("multi-source parallel sync: two concurrent feeds ingest independently") {
     // reference analog: N chats synced by concurrent flows
     // (orchestration.py:166–225) — here N independent streaming queries
