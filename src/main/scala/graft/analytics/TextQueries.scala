@@ -172,6 +172,13 @@ object TextQueries {
     "mm02_frame_extract" -> ((s, d) =>
       graft.functions.Multimodal.frameExtractQuery(s, d)),
 
+    // Multimodal decode → RESIZE (stride-2 byte downsample) → FEATURE
+    // EXTRACTION (stub md5-derived dims) → per-doc aggregate: the
+    // remaining two ops of the multimodal family, same mapPartitions
+    // plumbing, oracle-recomputable.
+    "mm03_frame_features" -> ((s, d) =>
+      graft.functions.Multimodal.frameFeatureQuery(s, d)),
+
     // P5 family: case-normalization equality predicate + length guard
     // (reference: ALL-CAPS shouting filter, queries.py:33,114; the
     // corpus is lowercase so the lower() form is the non-degenerate one).
@@ -311,6 +318,30 @@ object TextQueries {
         |SELECT doc_id, count(*) AS n_frames,
         | CAST(max(off) AS INTEGER) AS last_off, bit_xor(fh) AS sig
         |FROM h GROUP BY 1""".stripMargin,
+    // mm03: frames as mm02, downsampled by stride 2, 4 feature dims from
+    // 16-bit md5 chunks (exact binary fractions), averaged per doc.
+    "mm03_frame_features" ->
+      """WITH f AS (
+        | SELECT doc_id, text, unnest(range(0, octet_length(encode(text)), 256)) AS off
+        | FROM documents),
+        |fr AS (
+        | SELECT doc_id, substr(text, CAST(off + 1 AS INTEGER), 64) AS frame FROM f),
+        |sm AS (
+        | SELECT doc_id,
+        |  md5(array_to_string(list_transform(range(0, len(frame), 2),
+        |    i -> substr(frame, CAST(i + 1 AS INTEGER), 1)), '')) AS h
+        | FROM fr),
+        |d AS (
+        | SELECT doc_id,
+        |  CAST(('0x' || substr(h, 1, 4)) AS BIGINT) / 65536.0 AS f0,
+        |  CAST(('0x' || substr(h, 5, 4)) AS BIGINT) / 65536.0 AS f1,
+        |  CAST(('0x' || substr(h, 9, 4)) AS BIGINT) / 65536.0 AS f2,
+        |  CAST(('0x' || substr(h, 13, 4)) AS BIGINT) / 65536.0 AS f3
+        | FROM sm)
+        |SELECT doc_id, count(*) AS n_frames,
+        | round(avg(f0), 4) AS f0, round(avg(f1), 4) AS f1,
+        | round(avg(f2), 4) AS f2, round(avg(f3), 4) AS f3
+        |FROM d GROUP BY 1""".stripMargin,
     "t11_casefold_pred" ->
       """SELECT lang, count(*) AS n FROM documents
         |WHERE text = lower(text) AND length(text) > 5 GROUP BY 1""".stripMargin,

@@ -61,6 +61,55 @@ object Multimodal {
       }
   }
 
+  /** One extracted feature vector per frame (4 stub dims in [0, 1)). */
+  final case class FrameFeature(doc_id: Long, frame_idx: Int,
+                                f0: Double, f1: Double, f2: Double, f3: Double)
+
+  /** STUB feature extraction over a RESIZED frame: a real implementation
+    * decodes the frame and runs a vision/audio featurizer; the stand-in
+    * (a) downsamples the frame by `resample` (every k-th byte — the
+    * resize/frame-subsampling plumbing), then (b) derives 4 dims in
+    * [0, 1) from 16-bit md5 chunks of the downsampled bytes — portable,
+    * so the DuckDB oracle recomputes every dim exactly (k/65536 is an
+    * exact binary fraction). Partition-local, batch-at-a-time — the
+    * production mapPartitions shape a real model drops into.
+    */
+  def extractFeatures(media: DataFrame, frameLen: Int = 64,
+                      stride: Int = 256, resample: Int = 2): Dataset[FrameFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          if (bytes == null || bytes.isEmpty) Iterator.empty
+          else (0 until bytes.length by stride).iterator.zipWithIndex.map {
+            case (off, idx) =>
+              val end = math.min(off + frameLen, bytes.length)
+              val small = (off until end by resample).map(bytes(_)).toArray
+              val d = md.digest(small)
+              def dim(j: Int): Double =
+                (((d(2 * j) & 0xff) << 8) | (d(2 * j + 1) & 0xff)) / 65536.0
+              FrameFeature(id, idx, dim(0), dim(1), dim(2), dim(3))
+          }
+        }
+      }
+  }
+
+  /** Query entry: per-doc mean feature vector over resampled frames —
+    * the decode → resize → featurize → aggregate pipeline end-to-end.
+    */
+  def frameFeatureQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    extractFeatures(docs).toDF()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        round(avg(col("f0")), 4).as("f0"), round(avg(col("f1")), 4).as("f1"),
+        round(avg(col("f2")), 4).as("f2"), round(avg(col("f3")), 4).as("f3"))
+  }
+
   /** Query entry: treat document text bytes as the opaque media payload
     * (the container ships no real media), sample frames, aggregate
     * per-doc frame stats. Demonstrates binary column → typed frames →
