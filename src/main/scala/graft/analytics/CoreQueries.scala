@@ -246,15 +246,21 @@ object CoreQueries {
         min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))),
 
     // W6: THE engine operator — last-writer-wins collapse per key,
-    // implemented the engine way (max_by over (ts, id) struct) and
-    // oracled by the SQL row_number window (SURVEY §2.5 W6).
+    // implemented the engine's sort-free way: primitive-buffer lww_seq
+    // HashAggregate on narrow columns, payload joined back on the unique
+    // (user_id, event_id) winner key. (`max_by(payload, struct)` carries
+    // a struct buffer ⇒ SortAggregate over ALL events — the measured-10×
+    // trap the merge path avoids; this query now shares its plan shape.)
+    // Oracled by the SQL row_number window (SURVEY §2.5 W6).
     "q26_lww_latest" -> ((s, d) => {
       val e = events(s, d)
-      val payload = struct(e.columns.map(col).toIndexedSeq: _*)
-      e.groupBy(col("user_id").as("uid"))
-        .agg(max_by(payload, struct(col("ts"), col("event_id"))).as("w"))
-        .select(col("uid").as("user_id"), col("w.event_id").as("event_id"),
-          col("w.event_type").as("event_type"), round(col("w.value"), 4).as("value"))
+      val w = e.groupBy(col("user_id"))
+        .agg(graft.plans.LwwFunctions.lww_seq(s, col("ts"), col("event_id"))
+          .as("event_id"))
+      e.select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .join(w, Seq("user_id", "event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
     }),
 
     // A9: incremental user-stats merge — two half-batches partially

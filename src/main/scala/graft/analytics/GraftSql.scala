@@ -35,9 +35,10 @@ object GraftSql {
   }
 
   /** Register a lake table's views: `<name>_live` (latest state),
-    * `<name>_raw` (merged rows incl. tombstones). Views capture the
-    * CURRENT snapshot at registration time (snapshot isolation — re-run
-    * to see later commits).
+    * `<name>_raw` (merged rows incl. tombstones), `<name>_epochs` (the
+    * per-epoch ingest metrics ledger — the reference's queryable
+    * etl_runs). Views capture the CURRENT snapshot at registration time
+    * (snapshot isolation — re-run to see later commits).
     */
   def registerLake(spark: SparkSession, tableDir: String,
                    name: String = "lake"): Unit = {
@@ -46,5 +47,7 @@ object GraftSql {
     val snap = LakeTable.load(tableDir)
     LakeTable.readMerged(spark, tableDir, snap)
       .createOrReplaceTempView(s"${name}_raw")
+    LakeTable.epochStats(spark, tableDir)
+      .createOrReplaceTempView(s"${name}_epochs")
   }
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, If, IsNotNull, IsNull, Literal, Or}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
-import org.apache.spark.sql.types.{DataType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** `lww_seq(warc_ts, seq)` — the last-writer-wins argmax as a native
   * declarative aggregate with a PRIMITIVE mutable buffer.
@@ -38,11 +38,14 @@ case class LwwSeq(ts: Expression, seqE: Expression) extends DeclarativeAggregate
   override def dataType: DataType = LongType
   override def prettyName: String = "lww_seq"
 
-  private lazy val bTs = AttributeReference("lww_b_ts", TimestampType)()
+  // buffer inherits the ts child's exact type (TIMESTAMP vs
+  // TIMESTAMP_NTZ vs any orderable primitive) — both are long-backed
+  // primitives, so the HashAggregate qualification is unaffected
+  private lazy val bTs = AttributeReference("lww_b_ts", ts.dataType)()
   private lazy val bSeq = AttributeReference("lww_b_seq", LongType)()
   override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(bTs, bSeq)
   override lazy val initialValues: Seq[Expression] =
-    Seq(Literal(null, TimestampType), Literal(null, LongType))
+    Seq(Literal(null, ts.dataType), Literal(null, LongType))
 
   /** (nTs, nSeq) beats (oTs, oSeq): empty buffer, or strictly greater
     * ts, or equal ts with greater seq.

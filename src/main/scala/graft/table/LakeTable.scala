@@ -255,6 +255,14 @@ object LakeTable {
       .drop("tombstone")
   }
 
+  /** The per-epoch ingest metrics ledger as a DataFrame — the queryable
+    * `etl_runs` analog (reference users inspect it directly:
+    * /root/reference/db/scripts/check_db.py:20–106). Columns: epochId,
+    * events, upserts, deletes, durationMs, eventsPerSec.
+    */
+  def epochStats(spark: SparkSession, dir: String): DataFrame =
+    spark.createDataFrame(load(dir).epochStats)
+
   def bucketOf(urlCol: org.apache.spark.sql.Column, numBuckets: Int) =
     pmod(xxhash64(urlCol), lit(numBuckets)).cast("int")
 

@@ -58,6 +58,10 @@ class GraftSqlSpec extends SparkSpec {
         |GROUP BY url ORDER BY url""".stripMargin).collect()
     assert(w.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(
       ("https://a/1", 2L), ("https://a/2", 3L), ("https://a/3", 4L)))
+    // the ingest metrics ledger is queryable (etl_runs analog)
+    val m = spark.sql(
+      "SELECT epochId, events, deletes FROM web_epochs").collect()
+    assert(m.length === 1 && m(0).getLong(1) === 5L && m(0).getLong(2) === 1L)
   }
 
 }
