@@ -45,6 +45,30 @@ object Maintenance {
     deleted
   }
 
+  /** One-call maintenance policy for an operator cron job: compact when
+    * the merge-on-read overlay has grown past `maxDeltaFiles` (or when a
+    * tombstone horizon is given — expiry only happens through a
+    * compaction pass), then vacuum unreachable files older than
+    * `vacuumGraceMs`. Returns (compacted?, filesVacuumed). The thresholds
+    * bound the read-side merge tax and the orphan footprint without a
+    * human in the loop — the engine-side analog of the reference's
+    * scheduler-driven upkeep (scheduler.py), expressed as policy over
+    * the manifest instead of cron-driven SQL.
+    */
+  def autoMaintain(spark: SparkSession, dir: String,
+                   maxDeltaFiles: Int = 16,
+                   tombstoneHorizonMs: Long = Long.MinValue,
+                   vacuumGraceMs: Long = 3600000L): (Boolean, Int) = {
+    val snap = LakeTable.load(dir)
+    val deltas = snap.files.count(_.kind == "delta")
+    val expirable = tombstoneHorizonMs != Long.MinValue &&
+      snap.files.exists(f => f.tombs > 0 && f.minTsMs < tombstoneHorizonMs)
+    val doCompact = deltas > maxDeltaFiles || expirable
+    if (doCompact) compact(spark, dir, tombstoneHorizonMs)
+    val vacuumed = vacuum(dir, vacuumGraceMs)
+    (doCompact, vacuumed)
+  }
+
   /** Rewrite the table into a NEW url-hash bucket layout (bucket split /
     * merge): a table created with P buckets outgrows them at 100 TB —
     * this is the Iceberg "rewrite with new partition spec" analog. One

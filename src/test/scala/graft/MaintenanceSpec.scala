@@ -70,6 +70,32 @@ class MaintenanceSpec extends SparkSpec {
     assert(LakeTable.readLive(spark, dir).filter($"url" === "https://a/2").count() === 0L)
   }
 
+  test("autoMaintain: compacts only past the delta threshold; vacuums orphans") {
+    val dir = tmpDir("maint-auto") + "/t"
+    LakeTable.create(dir, numBuckets = 4)
+    val feed = FeedGen.events(spark, cfg).toDF()
+    MergeInto.merge(spark, dir, feed.filter($"seq" < 2000L), 0L)
+    // 3 small MoR epochs → some delta files, below the threshold
+    (0 until 3).foreach { e =>
+      MergeInto.merge(spark, dir,
+        feed.filter($"seq" >= 2000L + e * 100L && $"seq" < 2100L + e * 100L),
+        (e + 1).toLong, MergeInto.MergeOnRead)
+    }
+    val before = state(dir)
+    val deltas = LakeTable.load(dir).files.count(_.kind == "delta")
+    assert(deltas > 0)
+    // threshold above current overlay: no compaction
+    val (c1, _) = Maintenance.autoMaintain(spark, dir,
+      maxDeltaFiles = deltas + 1, vacuumGraceMs = 0L)
+    assert(!c1 && LakeTable.load(dir).files.count(_.kind == "delta") === deltas)
+    // threshold below: compaction folds the overlay, vacuum reclaims
+    val (c2, vac) = Maintenance.autoMaintain(spark, dir,
+      maxDeltaFiles = deltas - 1, vacuumGraceMs = 0L)
+    assert(c2 && vac > 0)
+    assert(LakeTable.load(dir).files.forall(_.kind == "base"))
+    assert(state(dir) === before)
+  }
+
   test("rebucket 8→32: state unchanged, new layout live, later merges + changelog work") {
     val dir = tmpDir("maint-rb") + "/t"
     LakeTable.create(dir, numBuckets = 8)
