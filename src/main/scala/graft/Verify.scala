@@ -9,8 +9,8 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val formats = "parquet" +: sys.env.getOrElse("SPARK_GRAFT_EXPORT", "")
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val formats = ("parquet" +: sys.env.getOrElse("SPARK_GRAFT_EXPORT", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq).distinct
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
