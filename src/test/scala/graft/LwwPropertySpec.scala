@@ -108,4 +108,29 @@ class LwwPropertySpec extends SparkSpec {
         live.length == got.size && got == scalaOracle(evs)
     })
   }
+
+  test("random maintenance interleavings (compact/rebucket/vacuum) preserve state") {
+    check("maintenance-mix")(Prop.forAll(
+      Gen.listOfN(40, genEv), Gen.choose(2, 4),
+      Gen.listOfN(4, Gen.choose(0, 3))) { (evs, nEpochs, opsDie) =>
+        val dir = tmpDir("prop-maint") + "/t"
+        LakeTable.create(dir, numBuckets = 8)
+        val chunks = evs.grouped(math.max(1, evs.size / nEpochs)).toList
+        chunks.zipWithIndex.foreach { case (chunk, e) =>
+          val mode = if (e % 2 == 1) MergeInto.MergeOnRead else MergeInto.Auto
+          MergeInto.merge(spark, dir, toDf(chunk), e.toLong, mode)
+          opsDie(e % opsDie.size) match {
+            case 1 => graft.table.Maintenance.compact(spark, dir)
+            case 2 => graft.table.Maintenance.rebucket(spark, dir,
+              Seq(4, 8, 16)((e + 1) % 3))
+            case 3 => graft.table.Maintenance.vacuum(dir, graceMs = 0L)
+            case _ => ()
+          }
+        }
+        val live = LakeTable.readLive(spark, dir)
+          .select($"url", $"seq").collect()
+        val got = live.map(r => (r.getString(0), r.getLong(1))).toMap
+        live.length == got.size && got == scalaOracle(evs)
+    })
+  }
 }
