@@ -287,7 +287,11 @@ object CoreQueries {
     // back; must equal the from-scratch aggregate the oracle computes.
     "q34_user_rollup" -> ((s, d) => {
       import graft.operators.AdditiveRollup
-      val dir = java.nio.file.Files.createTempDirectory("graft-q34").toString
+      // scratch rollup on tmpfs when present (deleted below either way)
+      val dir = (if (new java.io.File("/dev/shm").isDirectory)
+        java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("/dev/shm"), "graft-q34")
+      else java.nio.file.Files.createTempDirectory("graft-q34")).toString
       val e = events(s, d)
       def delta(df: DataFrame) = df.groupBy(col("user_id")).agg(
         min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"),
