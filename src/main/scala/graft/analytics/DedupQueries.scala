@@ -51,9 +51,13 @@ object DedupQueries {
     val shRaw = shingles(docs)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .persist()
-    val keep = shRaw.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= maxDocFreq).select(col("shingle"))
-    val sh = shRaw.join(keep, Seq("shingle")).persist()
+    // the HOT set (df > cap) is small by construction — boilerplate
+    // shingles are few in kind, huge in frequency — so subtracting it
+    // with a broadcast anti-join costs no extra shuffle (a keep-side
+    // equi-join would re-exchange the full shingle set)
+    val hot = shRaw.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq).select(col("shingle"))
+    val sh = shRaw.join(broadcast(hot), Seq("shingle"), "left_anti").persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
