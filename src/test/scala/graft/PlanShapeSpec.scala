@@ -15,6 +15,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("predicate pushdown and broadcast dim joins hold (PLANS.md claims)") {
+    // q02: the equality filter must reach the parquet scan
+    val q02 = SparkEntry.queries("q02_recent_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q02.contains("PushedFilters:") && q02.contains("EqualTo(event_type"),
+      "q02 filter not pushed to the scan")
+    assert(q02.contains("TakeOrderedAndProject"), "q02 lost top-k pushdown")
+    // q03: the dimension side must broadcast (no shuffle join)
+    val q03 = SparkEntry.queries("q03_join_segments")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q03.contains("BroadcastHashJoin"), "q03 dim join not broadcast")
+  }
+
   test("aggregation-heavy queries stay hash-based (no SortAggregate)") {
     // every query except the deliberately-window/sort-based ones must
     // aggregate via HashAggregate (primitive buffers); max_by/max(struct)
