@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * be deterministic or replay equivalence fails under repartitioning,
   * SURVEY §7.4).
   *
-  * Scale design: the default path is a hash aggregate with `max_by` over
-  * a (warc_ts, seq) struct. Catalyst plans this as partial (map-side)
+  * Scale design: the default path is one aggregate with `max_by` over a
+  * (warc_ts, seq) struct. Catalyst plans this as partial (map-side)
   * aggregation followed by a final aggregation after the shuffle — hot
   * urls are pre-combined on every input partition BEFORE the shuffle, so
   * a key receiving 10^7 duplicate updates ships at most
@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   * with zero extra code on the hot path; the salted variant below exists
   * for operators that cannot partially aggregate (window-function shape)
   * and as the documented fallback.
+  *
+  * NB on plan shape: `max_by`'s struct buffer planizes as SortAggregate
+  * in Spark 4 (partial aggregation preserved, but each partition sorts
+  * by url first) — acceptable for this standalone batch operator; the
+  * ingest HOT PATH uses the primitive-buffer [[graft.plans.LwwSeq]]
+  * HashAggregate instead (measured ~10× at 64M events; PLANS.md).
   */
 object LwwCollapse {
 
