@@ -27,6 +27,16 @@ object CoreQueries {
     (ms(b) - ms(a)).cast("double")
   }
 
+  /** Reclaim a scratch dir at JVM exit — for query-local engine state a
+    * returned lazy DataFrame still reads (q34's rollup versions).
+    */
+  private def deleteOnExit(dir: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })))
+
   val queries: Map[String, Q] = Map(
     // A1/A4: grouped multi-aggregate (reference: messages-per-bucket
     // queries, convoetl/analytics/sqlite/queries.py:54–87).
@@ -306,16 +316,14 @@ object CoreQueries {
       // at-least-once redelivery of epoch 1: ledger makes it a no-op
       AdditiveRollup.upsert(s, dir, delta(e.filter(col("event_id") % 2 =!= 0)),
         Seq("user_id"), 1L, combine)
-      val res = AdditiveRollup.read(s, dir).select(col("user_id"),
+      // return the engine's DataFrame directly — no driver-side collect
+      // (a 10^9-key rollup must stream from the state parquet, not
+      // through the driver). The scratch dir stays until JVM exit so the
+      // lazy read works for any later action; a shutdown hook reclaims it.
+      deleteOnExit(dir)
+      AdditiveRollup.read(s, dir).select(col("user_id"),
         col("first_seen"), col("last_seen"), col("total_events"),
         round(col("sum_value"), 4).as("sum_value"))
-      // rollup cardinality is bounded by the user domain: materialize and
-      // drop the scratch dir so repeated runs leave nothing behind
-      val rows = res.collect()
-      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
     }),
 
     // P7: NULLIF/COALESCE guards (queries.py:308–310; sqlite.py:226–227).
@@ -338,13 +346,19 @@ object CoreQueries {
         count(lit(1)).as("n"))),
 
     // A3 at scale: HLL sketch distinct (SURVEY: "approx_count_distinct at
-    // 10^10 scale, exact variant in tests"). Sketches differ across
-    // engines → rows-only for the driver; the ≤5%-error bound vs exact
-    // is asserted in AnalyticsSpec.
+    // 10^10 scale, exact variant in tests"). The raw sketch value is
+    // engine-specific, so the query emits the exact count plus an
+    // engine-computed within-5% bound check instead — DuckDB recomputes
+    // exact and expects TRUE, making the HLL path fully oracle-checked
+    // (rsd=0.02 keeps the 5% gate comfortably clear of the estimator's
+    // own noise).
     "q31_hll_distinct" -> ((s, d) => events(s, d)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))),
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")).cast("double") <=
+          col("exact_users").cast("double") * 0.05).as("within_5pct"))),
 
     // J2: LEFT outer dim⋈fact + aggregate, zero-match rows retained
     // (queries.py:293–296 chats LEFT JOIN messages).
@@ -521,6 +535,10 @@ object CoreQueries {
       """SELECT user_id,
         | round(date_diff('millisecond', min(ts), max(ts))/86400000.0, 4) AS span_days,
         | count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q31_hll_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | TRUE AS within_5pct
         |FROM events GROUP BY 1""".stripMargin,
     "q32_left_join" ->
       """SELECT c_mktsegment, count(o_orderkey) AS n_f_orders,

@@ -49,14 +49,18 @@ object CdcIngest {
             transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity,
             statsDir: Option[String] = None,
             feedFormat: String = "parquet"): StreamingQuery = {
+    // WAL archive format: parquet (default) or JSONL segments — binary
+    // html rides base64 through JSON and round-trips byte-identically
+    // (TailModeSpec). Anything else (csv, text) cannot carry the binary
+    // column; refuse up front instead of failing mid-stream.
+    require(feedFormat == "parquet" || feedFormat == "json",
+      s"unsupported WAL feed format '$feedFormat' — the change feed " +
+        "carries a binary html column; use 'parquet' or 'json' (base64)")
     if (!LakeTable.exists(tableDir)) LakeTable.create(tableDir, numBuckets)
     var reader = spark.readStream
       .schema(CdcSchema.latest)
       .option("recursiveFileLookup", "false")
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
-    // WAL archive format: parquet (default) or JSONL segments — binary
-    // html rides base64 through JSON and round-trips byte-identically
-    // (TailModeSpec). CSV is refused upstream: it cannot carry binary.
     val feed = reader.format(feedFormat).load(s"$feedDir/wal")
     feed.writeStream
       .queryName(s"cdc-ingest-${java.util.UUID.randomUUID().toString.take(8)}")

@@ -14,6 +14,15 @@ import scala.jdk.CollectionConverters._
   */
 object RollupStore {
 
+  /** Hard ceiling on rollup state rows (override per session via the
+    * `spark.graft.rollup.maxRows` conf). The store's contract is
+    * BOUNDED-cardinality state — the per-epoch rewrite is O(rows), so a
+    * key domain that grows with the feed would degrade every epoch
+    * silently. Exceeding the ceiling fails the epoch loudly BEFORE the
+    * commit point, with the fix in the message.
+    */
+  val DefaultMaxRows: Long = 10000000L
+
   /** Apply one epoch: skip if `epochId` is already in the ledger,
     * otherwise compute the next state from the previous one (None before
     * the first epoch) and commit it. Returns true if applied.
@@ -36,10 +45,14 @@ object RollupStore {
       else {
         val cur = dir.resolve(Files.readString(ptr).trim)
         val ledger = cur.resolve("_epochs")
-        val s: Set[Long] =
-          if (Files.exists(ledger))
-            Files.readString(ledger).split("\n").filter(_.nonEmpty).map(_.toLong).toSet
-          else Set.empty
+        // pre-r2 layout kept the ledger at the top level; fall back so an
+        // upgraded store cannot double-apply a redelivered additive epoch
+        val legacy = dir.resolve("_epochs")
+        val src = if (Files.exists(ledger)) Some(ledger)
+          else if (Files.exists(legacy)) Some(legacy) else None
+        val s: Set[Long] = src.map(p =>
+          Files.readString(p).split("\n").filter(_.nonEmpty).map(_.toLong).toSet)
+          .getOrElse(Set.empty)
         (Some(spark.read.parquet(cur.toString)), s)
       }
     if (seen.contains(epochId)) return false
@@ -49,6 +62,20 @@ object RollupStore {
     // retry; a crash after it has committed state+ledger atomically.
     val nextDir = dir.resolve(s"v-$epochId")
     next(prev).coalesce(1).write.mode("overwrite").parquet(nextDir.toString)
+    // bounded-state guard BEFORE the commit point: the parquet-footer
+    // count is metadata-only, and a failure here leaves only an orphan
+    // v-dir (same as a crash pre-swap) — the store never commits a state
+    // it would grind on every subsequent epoch.
+    val maxRows = spark.conf.getOption("spark.graft.rollup.maxRows")
+      .map(_.toLong).getOrElse(DefaultMaxRows)
+    val stateRows = spark.read.parquet(nextDir.toString).count()
+    if (stateRows > maxRows)
+      throw new IllegalStateException(
+        s"rollup state at $rollupDir grew to $stateRows rows (> $maxRows): " +
+          "RollupStore rewrites the WHOLE state each epoch and is for " +
+          "bounded key domains only — move this key domain to a LakeTable " +
+          "MERGE, or raise spark.graft.rollup.maxRows if the domain is " +
+          "genuinely bounded")
     Files.writeString(nextDir.resolve("_epochs"),
       (seen + epochId).toSeq.sorted.mkString("\n") + "\n")
     val ptrTmp = dir.resolve(s".ptr.tmp.$epochId")
@@ -58,13 +85,17 @@ object RollupStore {
     // retention: superseded v-* dirs are unreachable once PTR moved on;
     // keep the latest few for readers mid-swap, GC the rest
     val keep = 3
-    val old = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("v-"))
-      .toSeq.sortBy(p => p.getFileName.toString.stripPrefix("v-").toLong)
-      .dropRight(keep)
+    val old = scala.util.Using.resource(Files.list(dir)) { st =>
+      st.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("v-"))
+        .toSeq.sortBy(p => p.getFileName.toString.stripPrefix("v-").toLong)
+        .dropRight(keep)
+    }
     old.foreach { p =>
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
+      scala.util.Using.resource(Files.walk(p)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+      }
     }
     true
   }

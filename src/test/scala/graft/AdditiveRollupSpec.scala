@@ -94,6 +94,49 @@ class AdditiveRollupSpec extends SparkSpec {
     assert(res.passed, res.toString)
   }
 
+  test("bounded-state guard: an epoch that blows the key-domain ceiling fails loudly") {
+    val dir = tmpDir("ar-guard")
+    val combine = Seq("n" -> AdditiveRollup.add)
+    spark.conf.set("spark.graft.rollup.maxRows", "100")
+    try {
+      // 50 keys: under the ceiling, commits
+      assert(AdditiveRollup.upsert(spark, dir,
+        spark.range(50).select($"id".as("k"), lit(1L).as("n")),
+        Seq("k"), 0L, combine))
+      // 200 more keys: state would exceed the ceiling — must throw, not
+      // silently commit a state every later epoch grinds over
+      val e = intercept[IllegalStateException] {
+        AdditiveRollup.upsert(spark, dir,
+          spark.range(1000, 1200).select($"id".as("k"), lit(1L).as("n")),
+          Seq("k"), 1L, combine)
+      }
+      assert(e.getMessage.contains("LakeTable"))
+      // the failed epoch did NOT commit: state is epoch 0's, and the
+      // epoch can be retried after the operator fixes the domain
+      assert(AdditiveRollup.read(spark, dir).count() === 50L)
+      spark.conf.set("spark.graft.rollup.maxRows", "1000000")
+      assert(AdditiveRollup.upsert(spark, dir,
+        spark.range(1000, 1200).select($"id".as("k"), lit(1L).as("n")),
+        Seq("k"), 1L, combine))
+      assert(AdditiveRollup.read(spark, dir).count() === 250L)
+    } finally spark.conf.unset("spark.graft.rollup.maxRows")
+  }
+
+  test("pre-r2 top-level ledger is honored: legacy redelivered epoch stays a no-op") {
+    val dir = tmpDir("ar-legacy")
+    val combine = Seq("n" -> AdditiveRollup.add)
+    def d(v: Long) = Seq((1L, v)).toDF("k", "n")
+    AdditiveRollup.upsert(spark, dir, d(5L), Seq("k"), 0L, combine)
+    // simulate a store written by the old layout: ledger at top level,
+    // none inside the current v-dir
+    val p = java.nio.file.Paths.get(dir)
+    val cur = p.resolve(java.nio.file.Files.readString(p.resolve("PTR")).trim)
+    java.nio.file.Files.move(cur.resolve("_epochs"), p.resolve("_epochs"))
+    assert(!AdditiveRollup.upsert(spark, dir, d(5L), Seq("k"), 0L, combine),
+      "legacy-ledger epoch must not double-apply")
+    assert(AdditiveRollup.read(spark, dir).head.getLong(1) === 5L)
+  }
+
   test("domain stats via the ingest sink across restarts == from-scratch aggregate") {
     val cfg = FeedGen.Config(seed = 21L, n = 6000L, nDomains = 25,
       pathsPerDomain = 6, dupRate = 0.05, evolveAt = 4000L, segments = 4)

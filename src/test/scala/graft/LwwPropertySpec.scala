@@ -31,6 +31,17 @@ class LwwPropertySpec extends SparkSpec {
         null.asInstanceOf[java.lang.Double]))
       .toDF(CdcSchema.latest.fieldNames: _*)
 
+  /** Re-number seq by list position: the WAL contract says seq is unique
+    * at the source, and a (url, seq, warc_ts) tie with DIFFERENT payloads
+    * is unorderable by the LWW key — the generator must not emit inputs
+    * the contract forbids (a latent flake otherwise: list-order maxBy vs
+    * partition-order max_by may pick different winners). Redelivered
+    * duplicates added AFTER this step are payload-identical, as in the
+    * real at-least-once stream.
+    */
+  def uniqueSeq(evs: List[Ev]): List[Ev] =
+    evs.zipWithIndex.map { case (e, i) => e.copy(seq = i.toLong) }
+
   /** Reference implementation in plain Scala (not Spark). NB ties on
     * (tsMs, seq) resolve to the same winner regardless of list order.
     */
@@ -51,7 +62,8 @@ class LwwPropertySpec extends SparkSpec {
   test("collapse == plain-Scala LWW oracle under permutation + duplication") {
     check("collapse-oracle")(Prop.forAll(
       Gen.listOfN(30, genEv), Gen.choose(0, 5), Gen.choose(0L, 999L)) {
-      (evs, dups, shuffleSeed) =>
+      (evs0, dups, shuffleSeed) =>
+        val evs = uniqueSeq(evs0)
         val withDups = evs ++ evs.take(dups) // redeliveries
         val shuffled = new scala.util.Random(shuffleSeed).shuffle(withDups)
         val collapsed = LwwCollapse.collapse(toDf(shuffled))
@@ -64,7 +76,8 @@ class LwwPropertySpec extends SparkSpec {
 
   test("random epoch splits converge to the same table state") {
     check("epoch-splits")(Prop.forAll(
-      Gen.listOfN(40, genEv), Gen.choose(1, 4)) { (evs, nEpochs) =>
+      Gen.listOfN(40, genEv), Gen.choose(1, 4)) { (evs0, nEpochs) =>
+        val evs = uniqueSeq(evs0)
         val dir = tmpDir("prop") + "/t"
         LakeTable.create(dir, numBuckets = 4)
         val chunks = evs.grouped(math.max(1, evs.size / nEpochs)).toSeq
@@ -85,7 +98,8 @@ class LwwPropertySpec extends SparkSpec {
     check("mode-mix")(Prop.forAll(
       Gen.listOfN(40, genEv), Gen.choose(2, 4),
       Gen.listOfN(5, Gen.choose(0, 2)), Gen.choose(0, 4)) {
-      (evs, nEpochs, modeDie, dupFrom) =>
+      (evs0, nEpochs, modeDie, dupFrom) =>
+        val evs = uniqueSeq(evs0)
         val dir = tmpDir("prop-mix") + "/t"
         LakeTable.create(dir, numBuckets = 4)
         // duplicate a slice of earlier events into the LAST epoch — the
@@ -112,7 +126,8 @@ class LwwPropertySpec extends SparkSpec {
   test("random maintenance interleavings (compact/rebucket/vacuum) preserve state") {
     check("maintenance-mix")(Prop.forAll(
       Gen.listOfN(40, genEv), Gen.choose(2, 4),
-      Gen.listOfN(4, Gen.choose(0, 3))) { (evs, nEpochs, opsDie) =>
+      Gen.listOfN(4, Gen.choose(0, 3))) { (evs0, nEpochs, opsDie) =>
+        val evs = uniqueSeq(evs0)
         val dir = tmpDir("prop-maint") + "/t"
         LakeTable.create(dir, numBuckets = 8)
         val chunks = evs.grouped(math.max(1, evs.size / nEpochs)).toList
