@@ -29,6 +29,26 @@ object SimilarityQueries {
     embeddings(s, d).select(col("vec_id"), col("label"),
       col("embedding").as("v"))
 
+  /** Scale-safe exact top-k per query over scored (query_id, vec_id,
+    * cos) rows: a bounded-buffer native aggregate
+    * ([[graft.plans.TopKByScore]]) instead of a per-query row_number
+    * window. The window shape shuffles EVERY scored row to one task per
+    * query and sorts it there — at "100 queries × 10^9 vectors" that is
+    * 100 single-task sorts over 10^10 rows. The aggregate's map-side
+    * partial keep-k reduces each input partition to ≤ k pairs per query
+    * before the shuffle, so the exchange carries nPartitions·k 16-byte
+    * pairs per query and the final merge is a heap fold. Rank order
+    * (cos DESC, vec_id ASC over the ROUNDED cosine) is byte-identical
+    * to the window formulation, so the oracle is unchanged.
+    */
+  private def topK(s: SparkSession, scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.plans.TopKFunctions
+        .topk_by_score(s, col("cos"), col("vec_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.score").as("cos"), (col("pos") + 1).cast("long").as("rank"))
+
   /** Exact brute-force top-k neighbors for a bounded query set. The
     * query side is broadcast (small by construction); the corpus side
     * streams — the right plan shape for "score 100 queries against 10^9
@@ -39,13 +59,9 @@ object SimilarityQueries {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val corpus = e.filter(col("vec_id") >= nQueries)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    corpus.crossJoin(broadcast(q))
+    topK(s, corpus.crossJoin(broadcast(q))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(s, col("qv"), col("v")), 4).as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+        round(cosine(s, col("qv"), col("v")), 4).as("cos")), k)
   }
 
   /** IVF-style assignment: nearest of K fixed centroids (the first K
@@ -100,13 +116,9 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("centroid_id").as("list_id"))
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    lists.join(broadcast(probes), Seq("list_id"))
+    topK(s, lists.join(broadcast(probes), Seq("list_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(s, col("qv"), col("v")), 4).as("cos"))
-      .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter(col("rank") <= k)
+        round(cosine(s, col("qv"), col("v")), 4).as("cos")), k)
   }
 
   /** Random-hyperplane LSH: sign bits from splitmix64-derived

@@ -28,6 +28,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(q03.contains("BroadcastHashJoin"), "q03 dim join not broadcast")
   }
 
+  test("ANN top-k is a bounded-buffer aggregate, not a per-query window funnel") {
+    // s01/s04's final rank must NOT be a row_number window partitioned by
+    // query_id (one task per query sorting all its scored rows — the
+    // 10^9-vector scale-killer); it must be the map-side-combined
+    // topk_by_score ObjectHashAggregate.
+    Seq("s01_knn_bruteforce", "s04_ivf_search").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("topk_by_score"), s"$name lost the top-k aggregate")
+      assert(plan.contains("partial_topk_by_score"),
+        s"$name top-k has no map-side partial aggregation")
+      assert(!plan.contains("row_number(") || name == "s04_ivf_search",
+        s"$name still ranks via a window") // s04 keeps per-VECTOR assignment windows
+    }
+    val s01 = SparkEntry.queries("s01_knn_bruteforce")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!s01.contains("Window"), "s01 should have no window at all")
+  }
+
   test("aggregation-heavy queries stay hash-based (no SortAggregate)") {
     // every query except the deliberately-window/sort-based ones must
     // aggregate via HashAggregate (primitive buffers); max_by/max(struct)
