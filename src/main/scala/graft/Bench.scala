@@ -37,12 +37,16 @@ object Bench {
     // measure the plan, not first-call classloading — one representative
     // per operator family (agg, shingle-join, vector)
     Seq("q01_pricing_summary", "dd03_ngram_jaccard", "dd06_embedding_neardup")
-      .foreach(n => SparkEntry.queries.get(n)
-        .foreach(fn => fn(spark, "/root/testdata/sf0.001").count()))
+      .foreach { n =>
+        SparkEntry.queries.get(n)
+          .foreach(fn => fn(spark, "/root/testdata/sf0.001").count())
+        graft.analytics.SessionCaches.release(spark)
+      }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      finally graft.analytics.SessionCaches.release(spark)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -26,6 +26,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         None
       }
+      // drop the query's persisted intermediates (dedup shingles/
+      // signatures) now that its result is on disk — the session stays
+      // cache-clean between queries
+      finally graft.analytics.SessionCaches.release(spark)
     }
     graft.sources.ResultExport.writeManifest(outDir, entries)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -48,16 +48,16 @@ object DedupQueries {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
                         maxDocFreq: Int = 64): DataFrame = {
-    val shRaw = shingles(docs)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .persist()
+    val shRaw = SessionCaches.track(shingles(docs)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
     // the HOT set (df > cap) is small by construction — boilerplate
     // shingles are few in kind, huge in frequency — so subtracting it
     // with a broadcast anti-join costs no extra shuffle (a keep-side
     // equi-join would re-exchange the full shingle set)
     val hot = shRaw.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDocFreq).select(col("shingle"))
-    val sh = shRaw.join(broadcast(hot), Seq("shingle"), "left_anti").persist()
+    val sh = SessionCaches.track(
+      shRaw.join(broadcast(hot), Seq("shingle"), "left_anti"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -103,7 +103,7 @@ object DedupQueries {
     * est joins BROADCAST it — the only shuffle is the band bucket join.
     */
   def minhashLshPairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs).persist()
+    val sig = SessionCaches.track(minhashSignatures(docs))
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         struct((0 until RowsPerBand)
@@ -153,7 +153,7 @@ object DedupQueries {
     * least one of 4 bands — pigeonhole), verified by bit_count(xor).
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sh = simhash(docs).persist()
+    val sh = SessionCaches.track(simhash(docs))
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFFL).as("bkt")))

@@ -25,7 +25,13 @@ object GraftSql {
   def registerFunctions(spark: SparkSession): Unit = {
     graft.plans.VectorFunctions.register(spark)
     graft.plans.LwwFunctions.register(spark)
+    graft.plans.TopKFunctions.register(spark)
   }
+
+  /** Drop intermediates the dedup/similarity builders persisted — call
+    * between queries in a long-lived session ([[SessionCaches]]).
+    */
+  def release(spark: SparkSession): Unit = SessionCaches.release(spark)
 
   /** Register every testdata table under its own name. */
   def registerTestdata(spark: SparkSession, sfDir: String): Unit = {

@@ -9,6 +9,18 @@ import graft.analytics.{DedupQueries, SimilarityQueries, Tables}
 class DedupSimilaritySpec extends SparkSpec {
   val sf = "/root/testdata/sf0.01"
 
+  test("dedup builders leave no cached RDDs after SessionCaches.release") {
+    graft.analytics.SessionCaches.release(spark) // clean slate
+    Seq("dd03_ngram_jaccard", "dd04_minhash_lsh", "dd05_simhash").foreach { n =>
+      SparkEntry.queries(n)(spark, sf).count()
+      assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+        s"$n should persist its intermediates while materializing")
+      graft.analytics.SessionCaches.release(spark)
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"$n left cached RDDs after release")
+    }
+  }
+
   test("minhash LSH recall: every exact-Jaccard≥0.9 pair is a candidate") {
     val docs = Tables.documents(spark, sf)
     val exact = DedupQueries.ngramJaccardPairs(docs, 0.9)
