@@ -55,9 +55,13 @@ object Bench {
 
     // untimed warm-up ingest (JIT/codegen for the merge path), then the
     // best of two timed runs — the sandbox host's throughput swings 2-5×
-    // over minutes, so a single sample under-reports the plan. Feed and
-    // table dirs live on tmpfs like the shuffle dirs: the single virtio
-    // disk would otherwise add its own variance to the measurement.
+    // over minutes, so a single sample under-reports the plan. Each trial
+    // is preceded by the PlatformControl codegen loop and BOTH trials'
+    // walls are published alongside the winner, so the artifact itself
+    // separates host drift from engine regression (the round-2 gap: 204k
+    // vs 613k events/s across driver rounds was uninterpretable from one
+    // best-of number). Feed and table dirs live on tmpfs like the shuffle
+    // dirs: the single virtio disk would otherwise add its own variance.
     val benchRoot = java.nio.file.Paths.get(
       if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench"
       else System.getProperty("java.io.tmpdir"))
@@ -65,16 +69,21 @@ object Bench {
     def freshDir(tag: String) =
       java.nio.file.Files.createTempDirectory(benchRoot, tag).toString
     graft.bench.IngestBenchCore.run(spark, 1000000L, cpus, freshDir("warm"))
-    val ing = try (1 to 2).map { _ =>
-      graft.bench.IngestBenchCore.run(spark, ingestN, cpus, freshDir("run"))
-    }.maxBy(_.backfillEps)
+    val trials = try (1 to 2).map { _ =>
+      val control = graft.bench.PlatformControl.run(spark)
+      (control, graft.bench.IngestBenchCore.run(spark, ingestN, cpus, freshDir("run")))
+    }
     finally {
       java.nio.file.Files.walk(benchRoot)
         .sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
     }
+    val ing = trials.map(_._2).maxBy(_.backfillEps)
+    val trialsJson = trials.map { case (c, r) =>
+      s"""{"control_sec":${f"$c%.2f"},"backfill_sec":${f"${r.backfillSec}%.2f"},"tail_sec":${f"${r.tailSec}%.2f"},"tail_small_sec":${f"${r.tailSmallSec}%.2f"},"backfill_events_per_sec":${r.backfillEps.round}}"""
+    }.mkString("[", ",", "]")
 
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_events_per_sec":${ing.backfillEps.round},"ingest_tail_events_per_sec":${ing.tailEps.round},"ingest_tail_small_sec":${f"${ing.tailSmallSec}%.2f"},"ingest_tail_small_mor":${ing.tailSmallMor},"ingest_events":${ing.events},"ingest_backfill_sec":${f"${ing.backfillSec}%.2f"},"read_live_sec":${f"${ing.readLiveSec}%.2f"},"read_live_mor_sec":${f"${ing.readLiveOverlaySec}%.2f"},"cores":$cpus}"""
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_events_per_sec":${ing.backfillEps.round},"ingest_tail_events_per_sec":${ing.tailEps.round},"ingest_tail_small_sec":${f"${ing.tailSmallSec}%.2f"},"ingest_tail_small_mor":${ing.tailSmallMor},"ingest_events":${ing.events},"ingest_backfill_sec":${f"${ing.backfillSec}%.2f"},"ingest_trials":$trialsJson,"changes_since_clean_sec":${f"${ing.changesCleanSec}%.2f"},"changes_since_mor_sec":${f"${ing.changesMorSec}%.2f"},"changes_rows":${ing.changesRows},"read_live_sec":${f"${ing.readLiveSec}%.2f"},"read_live_mor_sec":${f"${ing.readLiveOverlaySec}%.2f"},"cores":$cpus}"""
     // stdout (bare line — build.sbt pins outputStrategy so sbt does not
     // prefix it) AND a file, so the driver can parse either
     println(line)

@@ -18,9 +18,11 @@ object IngestBenchCore {
       feedgenSec: Double, backfillSec: Double, tailSec: Double,
       backfillEps: Double, tailEps: Double, liveRows: Long,
       tailSmallSec: Double, tailSmallEps: Double, tailSmallMor: Boolean,
-      readLiveSec: Double, readLiveOverlaySec: Double)
+      readLiveSec: Double, readLiveOverlaySec: Double,
+      changesCleanSec: Double, changesMorSec: Double, changesRows: Long)
 
-  def run(spark: SparkSession, n: Long, cores: Int, baseDir: String): Result = {
+  def run(spark: SparkSession, n: Long, cores: Int, baseDir: String,
+          numBuckets: Int = 64): Result = {
     val feedDir = s"$baseDir/feed"
     val tableDir = s"$baseDir/table"
     val ckptDir = s"$baseDir/ckpt"
@@ -34,8 +36,9 @@ object IngestBenchCore {
 
     // backfill: everything in one AvailableNow drain
     val t1 = System.nanoTime()
-    CdcIngest.runAvailableNow(spark, feedDir, tableDir, ckptDir, numBuckets = 64)
+    CdcIngest.runAvailableNow(spark, feedDir, tableDir, ckptDir, numBuckets)
     val tBackfill = (System.nanoTime() - t1) / 1e9
+    val idBackfill = LakeTable.load(tableDir).snapshotId
 
     // incremental tail: one more WAL segment arrives, stream resumes
     val cfg2 = cfg.copy(n = n + tailN)
@@ -44,8 +47,17 @@ object IngestBenchCore {
       .map(i => FeedGen.event(cfg2, i)).toDF()
     FeedGen.appendSegment(spark, feedDir, extra, "tail")
     val t2 = System.nanoTime()
-    CdcIngest.runAvailableNow(spark, feedDir, tableDir, ckptDir, numBuckets = 64)
+    CdcIngest.runAvailableNow(spark, feedDir, tableDir, ckptDir, numBuckets)
     val tTail = (System.nanoTime() - t2) / 1e9
+
+    // CDC-out cost (the incremental consumer read, Changelog.changesSince):
+    // what a downstream pays to pull "everything since the backfill
+    // snapshot" — here, the tail epoch's changes — off a CLEAN table
+    // (manifest diff + seq filter over the changed buckets' base files)
+    val tc0 = System.nanoTime()
+    val changesRows =
+      graft.table.Changelog.changesSince(spark, tableDir, idBackfill).count()
+    val tChangesClean = (System.nanoTime() - tc0) / 1e9
 
     // small tail epoch: the latency-sensitive path. A trickle of changes
     // against the full table — Auto picks merge-on-read here, so the
@@ -82,9 +94,16 @@ object IngestBenchCore {
     LakeTable.readLive(spark, tableDir).count()
     val tReadOverlay = (System.nanoTime() - t5) / 1e9
 
+    // CDC-out again, now with delta overlays in the read path — the
+    // marginal merge tax a consumer pays between compactions
+    val tc1 = System.nanoTime()
+    graft.table.Changelog.changesSince(spark, tableDir, idBackfill).count()
+    val tChangesMor = (System.nanoTime() - tc1) / 1e9
+
     Result(n, cores, tGen, tBackfill, tTail,
       n / tBackfill, tailN / tTail, snap.liveRows,
-      tSmall, smallN / tSmall, usedMor, tReadLive, tReadOverlay)
+      tSmall, smallN / tSmall, usedMor, tReadLive, tReadOverlay,
+      tChangesClean, tChangesMor, changesRows)
   }
 }
 
@@ -97,6 +116,7 @@ object IngestBench {
   def main(args: Array[String]): Unit = {
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val n = sys.env.getOrElse("SPARK_GRAFT_INGEST_N", "1000000").toLong
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft-ingest-bench")
@@ -116,9 +136,10 @@ object IngestBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val base = java.nio.file.Files.createTempDirectory("graft-ibench").toString
-    val r = IngestBenchCore.run(spark, n, cores, base)
+    val control = PlatformControl.run(spark)
+    val r = IngestBenchCore.run(spark, n, cores, base, buckets)
     println(
-      s"""{"metric":"ingest_events_per_sec","value":${r.backfillEps.round},"unit":"events/sec","cores":${r.cores},"events":${r.events},"feedgen_sec":${f"${r.feedgenSec}%.2f"},"backfill_sec":${f"${r.backfillSec}%.2f"},"tail_sec":${f"${r.tailSec}%.2f"},"tail_events_per_sec":${r.tailEps.round},"tail_small_sec":${f"${r.tailSmallSec}%.2f"},"tail_small_events_per_sec":${r.tailSmallEps.round},"tail_small_mor":${r.tailSmallMor},"read_live_sec":${f"${r.readLiveSec}%.2f"},"read_live_mor_sec":${f"${r.readLiveOverlaySec}%.2f"},"live_rows":${r.liveRows}}""")
+      s"""{"metric":"ingest_events_per_sec","value":${r.backfillEps.round},"unit":"events/sec","cores":${r.cores},"events":${r.events},"buckets":$buckets,"control_sec":${f"$control%.2f"},"feedgen_sec":${f"${r.feedgenSec}%.2f"},"backfill_sec":${f"${r.backfillSec}%.2f"},"tail_sec":${f"${r.tailSec}%.2f"},"tail_events_per_sec":${r.tailEps.round},"tail_small_sec":${f"${r.tailSmallSec}%.2f"},"tail_small_events_per_sec":${r.tailSmallEps.round},"tail_small_mor":${r.tailSmallMor},"read_live_sec":${f"${r.readLiveSec}%.2f"},"read_live_mor_sec":${f"${r.readLiveOverlaySec}%.2f"},"changes_since_clean_sec":${f"${r.changesCleanSec}%.2f"},"changes_since_mor_sec":${f"${r.changesMorSec}%.2f"},"changes_rows":${r.changesRows},"live_rows":${r.liveRows}}""")
     spark.stop()
   }
 }
