@@ -15,7 +15,12 @@ object DedupQueries {
 
   private val ShingleLen = 5 // 5-word shingles
 
-  /** DISTINCT word-5-gram shingles per doc: (doc_id, shingle). */
+  /** Word-5-gram shingle OCCURRENCES per doc: (doc_id, shingle), not
+    * deduplicated — each consumer dedups (or not) in its cheapest form:
+    * Jaccard dedups AFTER hashing (8-byte exchange rows instead of
+    * ~30-byte strings), MinHash needs no dedup at all (min over a
+    * multiset == min over the set), saving that shuffle entirely.
+    */
   private def shingles(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
     // guard: Spark's sequence(1, n) turns DESCENDING for n < 1 — a short
@@ -24,9 +29,8 @@ object DedupQueries {
       sequence(lit(1), size(w) - (ShingleLen - 1)))
       .otherwise(array().cast("array<int>"))
     docs.select(col("doc_id"),
-        explode(transform(idx,
-          i => concat_ws(" ", slice(w, i, lit(ShingleLen))))).as("shingle"))
-      .distinct()
+      explode(transform(idx,
+        i => concat_ws(" ", slice(w, i, lit(ShingleLen))))).as("shingle"))
   }
 
   /** Candidate near-dup pairs by shared shingle + exact Jaccard.
@@ -49,7 +53,8 @@ object DedupQueries {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
                         maxDocFreq: Int = 64): DataFrame = {
     val shRaw = SessionCaches.track(shingles(docs)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .distinct())
     // the HOT set (df > cap) is small by construction — boilerplate
     // shingles are few in kind, huge in frequency — so subtracting it
     // with a broadcast anti-join costs no extra shuffle (a keep-side
@@ -85,6 +90,10 @@ object DedupQueries {
     * so MinHash+LSH is oracle-checked, not rows-only.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
+    // no shingle dedup: min is multiset-invariant, so the signature is
+    // identical without the distinct's (doc_id, shingle) shuffle — the
+    // only exchange left in the signature pass is the groupBy(doc_id),
+    // and the k per-seed mins pre-combine map-side
     val sh = shingles(docs)
       .select(col("doc_id"), Hashing.h31(col("shingle")).as("h"))
     val mins = (0 until MinhashK).map(i =>

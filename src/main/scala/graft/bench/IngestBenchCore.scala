@@ -135,9 +135,19 @@ object IngestBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val base = java.nio.file.Files.createTempDirectory("graft-ibench").toString
+    // feed/table/ckpt on tmpfs like the shuffle dirs (BENCH/BASELINE.md
+    // methodology): the single virtio disk would otherwise add its own
+    // variance to the measurement
+    val root = java.nio.file.Paths.get(
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ibench"
+      else System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createDirectories(root)
+    val base = java.nio.file.Files.createTempDirectory(root, "run").toString
     val control = PlatformControl.run(spark)
-    val r = IngestBenchCore.run(spark, n, cores, base, buckets)
+    val r = try IngestBenchCore.run(spark, n, cores, base, buckets)
+    finally java.nio.file.Files.walk(java.nio.file.Paths.get(base))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
     println(
       s"""{"metric":"ingest_events_per_sec","value":${r.backfillEps.round},"unit":"events/sec","cores":${r.cores},"events":${r.events},"buckets":$buckets,"control_sec":${f"$control%.2f"},"feedgen_sec":${f"${r.feedgenSec}%.2f"},"backfill_sec":${f"${r.backfillSec}%.2f"},"tail_sec":${f"${r.tailSec}%.2f"},"tail_events_per_sec":${r.tailEps.round},"tail_small_sec":${f"${r.tailSmallSec}%.2f"},"tail_small_events_per_sec":${r.tailSmallEps.round},"tail_small_mor":${r.tailSmallMor},"read_live_sec":${f"${r.readLiveSec}%.2f"},"read_live_mor_sec":${f"${r.readLiveOverlaySec}%.2f"},"changes_since_clean_sec":${f"${r.changesCleanSec}%.2f"},"changes_since_mor_sec":${f"${r.changesMorSec}%.2f"},"changes_rows":${r.changesRows},"live_rows":${r.liveRows}}""")
     spark.stop()

@@ -26,5 +26,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("lww_seq",
         "lww_seq(ts, seq) - seq of the last-writer-wins row: max (ts, seq) lexicographically"),
       (exprs: Seq[Expression]) => LwwSeq(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("topk_by_score"),
+      info("topk_by_score",
+        "topk_by_score(score, id, k) - k best (score, id) pairs per group " +
+          "under (score DESC, id ASC), as ARRAY<STRUCT<id, score>> in rank order"),
+      (exprs: Seq[Expression]) => TopKByScore(exprs(0), exprs(1), exprs(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+          org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"topk_by_score k must be an integer literal, got $other")
+      })))
   }
 }

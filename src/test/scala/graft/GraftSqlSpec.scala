@@ -31,6 +31,33 @@ class GraftSqlSpec extends SparkSpec {
     assert(viaSql.map(_.toString).sorted === viaDf.map(_.toString).sorted)
   }
 
+  test("topk_by_score from plain SQL == DataFrame window rank") {
+    GraftSql.registerTestdata(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT q.vec_id AS query_id, e.pos + 1 AS rank, e.col.id AS vec_id
+        |FROM (
+        |  SELECT a.vec_id,
+        |    topk_by_score(round(vec_cosine(a.embedding, b.embedding), 4),
+        |                  b.vec_id, 3) AS tk
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 3 GROUP BY a.vec_id) q
+        |LATERAL VIEW posexplode(q.tk) e""".stripMargin)
+      .collect().map(_.toString).sorted
+    val e = spark.table("embeddings").select($"vec_id", $"embedding")
+    val scored = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .filter(col("a.vec_id") < 3)
+      .select(col("a.vec_id").as("query_id"),
+        round(graft.plans.VectorFunctions.vec_cosine(spark,
+          col("a.embedding"), col("b.embedding")), 4).as("cos"),
+        col("b.vec_id").as("cand"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos".desc, $"cand")
+    val viaDf = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3).select($"query_id", $"rank".cast("long"), $"cand")
+      .collect().map(_.toString).sorted
+    assert(viaSql.toSeq === viaDf.toSeq)
+  }
+
   test("SQL over lake views: live state, tombstones in raw, lww_seq in SQL") {
     val dir = tmpDir("sql-lake")
     LakeTable.create(dir, numBuckets = 4)
