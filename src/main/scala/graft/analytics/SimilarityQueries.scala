@@ -64,55 +64,83 @@ object SimilarityQueries {
         round(cosine(s, col("qv"), col("v")), 4).as("cos")), k)
   }
 
+  /** Nearest-centroid assignment as a PURE PROJECTION: the centroid set
+    * is bounded (it IS the index parameter), so it rides into the plan
+    * as K literal vectors and the argmax is `array_max` over K codegen'd
+    * cosine structs — no crossJoin row blow-up, no window, no shuffle.
+    * The previous formulation (crossJoin ×K + row_number window) shuffled
+    * corpus×K FULL rows by vec_id — at 10^9 vectors × K=4096 that is the
+    * whole corpus payload ×4096 through one exchange. Tie-break matches
+    * the window order (cos DESC, centroid_id ASC) by maximizing
+    * (cos, -centroid_id). For K beyond codegen comfort (~10^4+), the
+    * same argmax runs as `topk_by_score(..., 1)` per vector instead —
+    * still shuffle-free map-side.
+    *
+    * The bounded `collect` of K centroid rows is the same class as the
+    * merge path's ≤ numBuckets stats collects: O(index params), never
+    * O(data).
+    */
+  private def nearestCentroid(s: SparkSession, v: Column,
+                              cents: Seq[(Long, Array[Float])]): Column = {
+    val scored = cents.map { case (id, cv) =>
+      struct(round(cosine(s, typedLit(cv), v), 4).as("cos"),
+        lit(-id).as("negid"))
+    }
+    array_max(array(scored: _*))
+  }
+
+  private def collectCentroids(s: SparkSession, d: String,
+                               kCentroids: Int): Seq[(Long, Array[Float])] =
+    embeddings(s, d).filter(col("vec_id") < kCentroids)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .sortBy(_._1)
+
   /** IVF-style assignment: nearest of K fixed centroids (the first K
-    * vectors — deterministic and oracle-expressible). At scale the
-    * centroid set is broadcast and each vector is scored once: one pass,
-    * no shuffle until the final per-list aggregate.
+    * vectors — deterministic and oracle-expressible). One pass, no
+    * shuffle until the final per-list aggregate ([[nearestCentroid]]).
     */
   def ivfAssign(s: SparkSession, d: String, kCentroids: Int): DataFrame = {
-    val e = vecs(s, d)
-    val cents = e.filter(col("vec_id") < kCentroids)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("centroid_id"))
-    e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"),
-        round(cosine(s, col("cv"), col("v")), 4).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val cents = collectCentroids(s, d, kCentroids)
+    vecs(s, d)
+      .withColumn("win", nearestCentroid(s, col("v"), cents))
+      .select((-col("win.negid")).as("centroid_id"), col("win.cos").as("cos"))
       .groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_vecs"), round(avg(col("cos")), 4).as("avg_cos"))
   }
 
   /** Full IVF search — the ANN scale path end-to-end: corpus vectors are
-    * assigned to inverted lists (nearest of K broadcast centroids, one
-    * pass); each query probes only its nProbe nearest lists; exact
-    * cosine runs on the probed lists alone. At 10^9 vectors × K=4096
-    * lists × nProbe=64, the scored fraction is nProbe/K ≈ 1.6% of a
-    * brute-force pass, and the only shuffle is by list_id. Recall vs
-    * [[knnBruteForce]] is asserted in DedupSimilaritySpec.
+    * assigned to inverted lists by the shuffle-free projection argmax
+    * ([[nearestCentroid]]); each query probes only its nProbe nearest
+    * lists (broadcast back over the corpus); exact cosine runs on the
+    * probed lists alone. At 10^9 vectors × K=4096 lists × nProbe=64, the
+    * scored fraction is nProbe/K ≈ 1.6% of a brute-force pass, the
+    * corpus payload crosses ZERO exchanges, and the only shuffle is the
+    * bounded topk_by_score partials. Recall vs [[knnBruteForce]] is
+    * asserted in DedupSimilaritySpec.
     */
   def ivfSearch(s: SparkSession, d: String, kCentroids: Int, nProbe: Int,
                 nQueries: Int, k: Int): DataFrame = {
     val e = vecs(s, d)
-    val cents = e.filter(col("vec_id") < kCentroids)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
-    val corpus = e.filter(col("vec_id") >= nQueries)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("centroid_id"))
-    val lists = corpus.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("centroid_id"),
-        round(cosine(s, col("cv"), col("v")), 4).as("ccos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("centroid_id").as("list_id"))
+    val cents = collectCentroids(s, d, kCentroids)
+    // corpus side: assignment is a projection (no shuffle, no ×K rows) —
+    // the corpus is touched by exactly ONE map pass before the bounded
+    // top-k partials
+    val lists = e.filter(col("vec_id") >= nQueries)
+      .withColumn("list_id", (-nearestCentroid(s, col("v"), cents)("negid")))
+      .select(col("vec_id"), col("v"), col("list_id"))
+    // query side: top-nProbe lists per query over K scored centroids —
+    // bounded (nQueries × K rows), stays a window
+    val centRows = cents.map { case (id, cv) =>
+      struct(lit(id).as("centroid_id"), typedLit(cv).as("cv"))
+    }
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("centroid_id"))
     val probes = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      .crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qv"), col("centroid_id"),
-        round(cosine(s, col("cv"), col("qv")), 4).as("qcos"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(array(centRows: _*)).as("c"))
+      .select(col("query_id"), col("qv"), col("c.centroid_id"),
+        round(cosine(s, col("c.cv"), col("qv")), 4).as("qcos"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("centroid_id").as("list_id"))

@@ -45,6 +45,11 @@ class PlanShapeSpec extends SparkSpec {
     val s01 = SparkEntry.queries("s01_knn_bruteforce")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!s01.contains("Window"), "s01 should have no window at all")
+    // s02: nearest-centroid assignment is a pure projection (argmax over
+    // K literal-centroid cosine structs) — no window, no corpus×K blow-up
+    val s02 = SparkEntry.queries("s02_ivf_assign")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!s02.contains("Window"), "s02 assignment regressed to a window")
   }
 
   test("aggregation-heavy queries stay hash-based (no SortAggregate)") {
