@@ -36,13 +36,18 @@ object Bench {
     // warm the JVM/codegen once on the smallest tier so per-query numbers
     // measure the plan, not first-call classloading — one representative
     // per operator family (agg, shingle-join, vector)
-    Seq("q01_pricing_summary", "dd03_ngram_jaccard", "dd06_embedding_neardup")
+    Seq("q01_pricing_summary", "dd03_ngram_jaccard", "dd06_embedding_neardup",
+      "s01_knn_bruteforce")
       .foreach { n =>
         SparkEntry.queries.get(n)
           .foreach(fn => fn(spark, "/root/testdata/sf0.001").count())
         graft.analytics.SessionCaches.release(spark)
       }
 
+    // platform control for the QUERY suite too (same role as the ingest
+    // trials' controls: host drift vs regression, readable from the
+    // artifact alone)
+    val queryControl = graft.bench.PlatformControl.run(spark)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -83,7 +88,7 @@ object Bench {
       s"""{"control_sec":${f"$c%.2f"},"backfill_sec":${f"${r.backfillSec}%.2f"},"tail_sec":${f"${r.tailSec}%.2f"},"tail_small_sec":${f"${r.tailSmallSec}%.2f"},"backfill_events_per_sec":${r.backfillEps.round}}"""
     }.mkString("[", ",", "]")
 
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_events_per_sec":${ing.backfillEps.round},"ingest_tail_events_per_sec":${ing.tailEps.round},"ingest_tail_small_sec":${f"${ing.tailSmallSec}%.2f"},"ingest_tail_small_mor":${ing.tailSmallMor},"ingest_events":${ing.events},"ingest_backfill_sec":${f"${ing.backfillSec}%.2f"},"ingest_trials":$trialsJson,"changes_since_clean_sec":${f"${ing.changesCleanSec}%.2f"},"changes_since_mor_sec":${f"${ing.changesMorSec}%.2f"},"changes_rows":${ing.changesRows},"read_live_sec":${f"${ing.readLiveSec}%.2f"},"read_live_mor_sec":${f"${ing.readLiveOverlaySec}%.2f"},"cores":$cpus}"""
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","query_control_sec":${f"$queryControl%.2f"},"queries":$qs,"sf":"$sfDir","ingest_events_per_sec":${ing.backfillEps.round},"ingest_tail_events_per_sec":${ing.tailEps.round},"ingest_tail_small_sec":${f"${ing.tailSmallSec}%.2f"},"ingest_tail_small_mor":${ing.tailSmallMor},"ingest_events":${ing.events},"ingest_backfill_sec":${f"${ing.backfillSec}%.2f"},"ingest_trials":$trialsJson,"changes_since_clean_sec":${f"${ing.changesCleanSec}%.2f"},"changes_since_mor_sec":${f"${ing.changesMorSec}%.2f"},"changes_rows":${ing.changesRows},"read_live_sec":${f"${ing.readLiveSec}%.2f"},"read_live_mor_sec":${f"${ing.readLiveOverlaySec}%.2f"},"cores":$cpus}"""
     // stdout (bare line — build.sbt pins outputStrategy so sbt does not
     // prefix it) AND a file, so the driver can parse either
     println(line)
