@@ -31,10 +31,17 @@ class MergePlanShapeSpec extends SparkSpec {
     spark.listenerManager.register(listener)
     try {
       work
-      // the listener bus is async: wait for the epoch's plans to drain
-      val deadline = System.nanoTime() + 15000000000L
-      while (plans.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
-      Thread.sleep(500) // let stragglers land
+      // the listener bus is async: wait until the captured set quiesces
+      // (no growth for 1 s) — a fixed post-first-event sleep can miss the
+      // write-job plans on a loaded host
+      val deadline = System.nanoTime() + 30000000000L
+      var last = -1
+      var stableSince = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+             (plans.isEmpty || System.nanoTime() - stableSince < 1000000000L)) {
+        Thread.sleep(50)
+        if (plans.size != last) { last = plans.size; stableSince = System.nanoTime() }
+      }
     } finally spark.listenerManager.unregister(listener)
     import scala.jdk.CollectionConverters._
     plans.asScala.toSeq

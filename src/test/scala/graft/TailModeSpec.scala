@@ -14,6 +14,15 @@ import graft.table.LakeTable
 class TailModeSpec extends SparkSpec {
   import spark.implicits._
 
+  test("non-binary-capable WAL formats are refused up front") {
+    val base = tmpDir("fmt-guard")
+    val e = intercept[IllegalArgumentException] {
+      CdcIngest.start(spark, s"$base/feed", s"$base/table", s"$base/ckpt",
+        feedFormat = "csv")
+    }
+    assert(e.getMessage.contains("parquet"))
+  }
+
   test("processing-time tail ingests segments appearing while the query runs") {
     val base = tmpDir("tail")
     val feedDir = s"$base/feed"
