@@ -48,9 +48,18 @@ object Bench {
     // trials' controls: host drift vs regression, readable from the
     // artifact alone)
     val queryControl = graft.bench.PlatformControl.run(spark)
+    // action per query: count() is the series-comparable default (r1+),
+    // but Catalyst prunes aggregate/projection expressions a count
+    // doesn't need — SPARK_GRAFT_QUERY_ACTION=noop forces FULL column
+    // materialization through the noop sink instead (no pruning, no
+    // collect); the measured delta is recorded in BENCH/BASELINE.md §3c
+    val fullMat = sys.env.get("SPARK_GRAFT_QUERY_ACTION").contains("noop")
+    def runQuery(df: org.apache.spark.sql.DataFrame): Unit =
+      if (fullMat) df.write.format("noop").mode("overwrite").save()
+      else { df.count(); () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try runQuery(fn(spark, sfDir)) catch { case _: Throwable => () }
       finally graft.analytics.SessionCaches.release(spark)
       name -> (System.nanoTime() - t0) / 1e9
     }
