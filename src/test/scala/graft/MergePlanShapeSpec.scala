@@ -75,6 +75,25 @@ class MergePlanShapeSpec extends SparkSpec {
       s"$label: undocumented SortAggregate in the merge path: $l"))
   }
 
+  test("column pruning survives the merged read: narrow projections never scan the payload") {
+    // a reader selecting (url, lang) off the live table must not scan
+    // html/text — at web scale the payload is ~95% of the bytes, and the
+    // two-phase collapse (narrow key pass + join-back) exists precisely
+    // so projections reach the parquet scans
+    val dir = tmpDir("mps-prune") + "/t"
+    LakeTable.create(dir, numBuckets = 8)
+    MergeInto.merge(spark, dir, batch(2000, 200), 0L)
+    MergeInto.merge(spark, dir, batch(500, 200), 1L, MergeInto.MergeOnRead)
+    val plan = LakeTable.readLive(spark, dir).select(col("url"), col("lang"))
+      .queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: [^\n]+".r.findAllIn(plan).toList
+    assert(schemas.nonEmpty, "no parquet scans found in the plan")
+    schemas.foreach { s =>
+      assert(!s.contains("html") && !s.contains("text"),
+        s"payload column scanned for a narrow projection: $s")
+    }
+  }
+
   test("CoW epoch (broadcast path): lww_seq HashAggregate, SortAggregate only in the winner residual") {
     val dir = tmpDir("mps-cow") + "/t"
     LakeTable.create(dir, numBuckets = 8)
