@@ -51,6 +51,19 @@ class TopKAggregateSpec extends SparkSpec {
     assert(res.passed, res.toString)
   }
 
+  test("beyond the ObjectHashAggregate fallback threshold (many groups per partition)") {
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold defaults
+    // to 128 distinct keys per partition — 600 groups in ONE partition
+    // forces the sort-based fallback path; results must be unchanged
+    val df = spark.range(0, 600L * 40, 1, 1).select(
+      (col("id") % 600).as("query_id"),
+      (col("id") / 600).cast("long").as("vec_id"),
+      (pmod(col("id") * 2654435761L, lit(1000)) / 1000.0).as("cos"))
+    val a = aggTopK(df, 3).collect().map(_.toString).sorted.toSeq
+    val b = windowTopK(df, 3).collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("empty groups and groups smaller than k") {
     val df = Seq((1L, 10L, 0.5), (1L, 11L, 0.7)).toDF("query_id", "vec_id", "cos")
     val got = aggTopK(df, 5).collect().map(r =>
