@@ -209,6 +209,45 @@ object DedupQueries {
       .filter(col("cos") >= minCos)
   }
 
+  /** Near-dup CLUSTERS: connected components over the Jaccard pair
+    * graph, labeled by the component's min doc_id (the canonical
+    * keeper). Pairwise keeper selection (t13's "drop doc_b of every
+    * pair") is not transitive — a chain a~b~c must become ONE cluster
+    * with one keeper, which needs components, not pairs.
+    *
+    * Algorithm: HashMin label propagation — every edge endpoint starts
+    * labeled with itself; each round joins labels across edges and takes
+    * the per-node min; fixpoint when no label changes. Rounds are
+    * bounded by component diameter (near-dup components are
+    * shallow — dup families, mirrors), each round is one bucket join +
+    * hash aggregate, and the convergence check is a scalar count, not a
+    * data collect — the standard distributed-CC shape (at extreme
+    * diameters, pointer-doubling / large-star-small-star variants drop
+    * rounds to O(log n); not needed for dup graphs).
+    */
+  def dupClusters(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val pairs = ngramJaccardPairs(documents(s, d), threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = SessionCaches.track(pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    var labels = SessionCaches.track(
+      edges.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = edges.join(labels, edges("doc_b") === labels("doc_id"))
+        .select(edges("doc_a").as("doc_id"), col("label"))
+      val next = SessionCaches.track(labels.unionByName(prop)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label")))
+      changed = next.as("n").join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup scalar summary (works even when the corpus is dup-free).
     "dd01_exact_summary" -> ((s, d) => documents(s, d)
@@ -243,7 +282,11 @@ object DedupQueries {
     // verify. (testdata vectors top out near cos≈0.48, so the "near-dup"
     // threshold is 0.4 — the operator, not the constant, is the
     // deliverable.)
-    "dd06_embedding_neardup" -> ((s, d) => embeddingNearDupPairs(s, d, 0.4))
+    "dd06_embedding_neardup" -> ((s, d) => embeddingNearDupPairs(s, d, 0.4)),
+
+    // Near-dup clustering: connected components over the pair graph,
+    // min-doc_id canonical labels (transitive keeper selection).
+    "dd07_dup_clusters" -> ((s, d) => dupClusters(s, d, 0.8))
   )
 
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the SQL
@@ -339,6 +382,16 @@ object DedupQueries {
          |  $bandOr)
          |WHERE bit_count(xor(x.sh, y.sh)) <= 3""".stripMargin
     },
+    "dd07_dup_clusters" ->
+      s"""WITH RECURSIVE ${jaccardPairsSqlCtes(0.8)},
+         |edges AS (
+         | SELECT doc_a, doc_b FROM pairs
+         | UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc_id, label) AS (
+         | SELECT DISTINCT doc_a, doc_a FROM edges
+         | UNION
+         | SELECT e.doc_a, r.label FROM edges e JOIN reach r ON r.doc_id = e.doc_b)
+         |SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
     "dd06_embedding_neardup" -> {
       val tbls = (0 until NearDupTables).map { t =>
         val planes = Hashing.hyperplanes(NearDupPlanes, 64, 1000L + t)

@@ -8,8 +8,8 @@ class AnalyticsSpec extends SparkSpec {
 
   // sparse/threshold queries may legitimately be empty at the smallest sf
   val mayBeEmpty = Set("dd03_ngram_jaccard", "dd04_minhash_lsh",
-    "dd05_simhash", "dd06_embedding_neardup", "s03_ann_lsh",
-    "q04_anti_join", "q21_except_users", "q07_burst_hours",
+    "dd05_simhash", "dd06_embedding_neardup", "dd07_dup_clusters",
+    "s03_ann_lsh", "q04_anti_join", "q21_except_users", "q07_burst_hours",
     "dd02_exact_keeper")
 
   SparkEntry.queries.foreach { case (name, fn) =>

@@ -21,6 +21,30 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dup clusters are transitive closures of the pair graph with min-id labels") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = DedupQueries.ngramJaccardPairs(docs, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = DedupQueries.dupClusters(spark, sf, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.analytics.SessionCaches.release(spark)
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    // every pair's endpoints share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // the label IS the member minimum (canonical keeper)
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label, s"cluster $label not labeled by min member")
+    }
+    // reference closure: union-find over the same pairs == engine clusters
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val expect = clusters.keys.map(k => k -> find(k)).toMap
+    assert(clusters == expect, "engine clusters differ from union-find closure")
+  }
+
   test("minhash LSH recall: every exact-Jaccard≥0.9 pair is a candidate") {
     val docs = Tables.documents(spark, sf)
     val exact = DedupQueries.ngramJaccardPairs(docs, 0.9)
