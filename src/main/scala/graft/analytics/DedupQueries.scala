@@ -233,15 +233,23 @@ object DedupQueries {
     var labels = SessionCaches.track(
       edges.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("label", col("doc_id")))
-    var changed = 1L
+    // convergence via sum(label): labels are per-node non-increasing
+    // under min-propagation, so the sum strictly decreases iff ANY label
+    // changed — one aggregate per round (which also materializes the
+    // round's cache), no old⋈new comparison join
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    var converged = false
+    while (!converged && rounds < 50) {
       val prop = edges.join(labels, edges("doc_b") === labels("doc_id"))
         .select(edges("doc_a").as("doc_id"), col("label"))
       val next = SessionCaches.track(labels.unionByName(prop)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label")))
-      changed = next.as("n").join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       rounds += 1
     }
