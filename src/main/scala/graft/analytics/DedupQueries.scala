@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operator family over `documents` — the large-scale
   * training-data-pipeline ops: exact (hash-groupBy), n-gram Jaccard,
-  * MinHash+LSH, SimHash. All candidate generation is bucket-join shaped
+  * MinHash+LSH, SimHash, and connected-component near-dup clustering.
+  * All candidate generation is bucket-join shaped
   * (explode → shuffle on the bucket key → pair within bucket), never an
   * O(n²) cross join — the property that survives a 100× scale-up.
   */
