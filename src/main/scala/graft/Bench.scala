@@ -87,17 +87,13 @@ object Bench {
       val control = graft.bench.PlatformControl.run(spark)
       (control, graft.bench.IngestBenchCore.run(spark, ingestN, cpus, freshDir("run")))
     }
-    finally {
-      java.nio.file.Files.walk(benchRoot)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-    }
+    finally graft.FsUtil.deleteTree(benchRoot)
     val ing = trials.map(_._2).maxBy(_.backfillEps)
     val trialsJson = trials.map { case (c, r) =>
       s"""{"control_sec":${f"$c%.2f"},"backfill_sec":${f"${r.backfillSec}%.2f"},"tail_sec":${f"${r.tailSec}%.2f"},"tail_small_sec":${f"${r.tailSmallSec}%.2f"},"backfill_events_per_sec":${r.backfillEps.round}}"""
     }.mkString("[", ",", "]")
 
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","query_control_sec":${f"$queryControl%.2f"},"queries":$qs,"sf":"$sfDir","ingest_events_per_sec":${ing.backfillEps.round},"ingest_tail_events_per_sec":${ing.tailEps.round},"ingest_tail_small_sec":${f"${ing.tailSmallSec}%.2f"},"ingest_tail_small_mor":${ing.tailSmallMor},"ingest_events":${ing.events},"ingest_backfill_sec":${f"${ing.backfillSec}%.2f"},"ingest_trials":$trialsJson,"changes_since_clean_sec":${f"${ing.changesCleanSec}%.2f"},"changes_since_mor_sec":${f"${ing.changesMorSec}%.2f"},"changes_rows":${ing.changesRows},"read_live_sec":${f"${ing.readLiveSec}%.2f"},"read_live_mor_sec":${f"${ing.readLiveOverlaySec}%.2f"},"cores":$cpus}"""
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","query_control_sec":${f"$queryControl%.2f"},"queries":$qs,"sf":"$sfDir","ingest_events_per_sec":${ing.backfillEps.round},"ingest_tail_events_per_sec":${ing.tailEps.round},"ingest_tail_small_sec":${f"${ing.tailSmallSec}%.2f"},"ingest_tail_small_mor":${ing.tailSmallMor},"ingest_events":${ing.events},"ingest_backfill_sec":${f"${ing.backfillSec}%.2f"},"ingest_trials":$trialsJson,"changes_since_clean_sec":${f"${ing.changesCleanSec}%.2f"},"changes_since_mor_sec":${f"${ing.changesMorSec}%.2f"},"changes_rows":${ing.changesRows},"changes_mor_rows":${ing.changesMorRows},"read_live_sec":${f"${ing.readLiveSec}%.2f"},"read_live_mor_sec":${f"${ing.readLiveOverlaySec}%.2f"},"cores":$cpus}"""
     // stdout (bare line — build.sbt pins outputStrategy so sbt does not
     // prefix it) AND a file, so the driver can parse either
     println(line)

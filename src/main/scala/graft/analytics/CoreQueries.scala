@@ -27,15 +27,25 @@ object CoreQueries {
     (ms(b) - ms(a)).cast("double")
   }
 
-  /** Reclaim a scratch dir at JVM exit — for query-local engine state a
-    * returned lazy DataFrame still reads (q34's rollup versions).
+  /** One scratch rollup dir PER sfDir, reused across invocations and
+    * reclaimed by a single JVM shutdown hook — a fresh dir per call
+    * would leak RAM-backed tmpfs (and stack one hook thread per call)
+    * in a long-lived session. Reuse is correct because AdditiveRollup's
+    * epoch ledger makes the replayed epochs no-ops: repeated q34 calls
+    * read the same committed state.
     */
-  private def deleteOnExit(dir: String): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
-        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })))
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def scratchDirFor(key: String): String =
+    scratchDirs.computeIfAbsent(key, _ => {
+      val dir = (if (new java.io.File("/dev/shm").isDirectory)
+        java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("/dev/shm"), "graft-q34")
+      else java.nio.file.Files.createTempDirectory("graft-q34")).toString
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.FsUtil.deleteTree(dir)))
+      dir
+    })
 
   val queries: Map[String, Q] = Map(
     // A1/A4: grouped multi-aggregate (reference: messages-per-bucket
@@ -297,11 +307,7 @@ object CoreQueries {
     // back; must equal the from-scratch aggregate the oracle computes.
     "q34_user_rollup" -> ((s, d) => {
       import graft.operators.AdditiveRollup
-      // scratch rollup on tmpfs when present (deleted below either way)
-      val dir = (if (new java.io.File("/dev/shm").isDirectory)
-        java.nio.file.Files.createTempDirectory(
-          java.nio.file.Paths.get("/dev/shm"), "graft-q34")
-      else java.nio.file.Files.createTempDirectory("graft-q34")).toString
+      val dir = scratchDirFor(d)
       val e = events(s, d)
       def delta(df: DataFrame) = df.groupBy(col("user_id")).agg(
         min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"),
@@ -318,9 +324,8 @@ object CoreQueries {
         Seq("user_id"), 1L, combine)
       // return the engine's DataFrame directly — no driver-side collect
       // (a 10^9-key rollup must stream from the state parquet, not
-      // through the driver). The scratch dir stays until JVM exit so the
-      // lazy read works for any later action; a shutdown hook reclaims it.
-      deleteOnExit(dir)
+      // through the driver). The session-scoped scratch dir stays until
+      // JVM exit so the lazy read works for any later action.
       AdditiveRollup.read(s, dir).select(col("user_id"),
         col("first_seen"), col("last_seen"), col("total_events"),
         round(col("sum_value"), 4).as("sum_value"))

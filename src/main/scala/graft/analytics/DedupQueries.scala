@@ -243,7 +243,8 @@ object DedupQueries {
     var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false
-    while (!converged && rounds < 50) {
+    val maxRounds = 64
+    while (!converged && rounds < maxRounds) {
       val prop = edges.join(labels, edges("doc_b") === labels("doc_id"))
         .select(edges("doc_a").as("doc_id"), col("label"))
       val next = SessionCaches.track(labels.unionByName(prop)
@@ -251,9 +252,21 @@ object DedupQueries {
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
+      // the superseded round's cache can never be read again — drop it
+      // now so peak cache stays at 2 label copies, not diameter+1
+      labels.unpersist(blocking = false)
       labels = next
       rounds += 1
     }
+    // a silent partial propagation would return NON-transitive clusters;
+    // a component with diameter > maxRounds must fail loudly (real dup
+    // graphs are shallow; a pathological chain needs pointer-doubling,
+    // not more of this loop)
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge within $maxRounds rounds - " +
+          "component diameter exceeds the HashMin budget; use a " +
+          "pointer-doubling CC variant for chain-shaped graphs")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 

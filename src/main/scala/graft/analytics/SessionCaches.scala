@@ -16,10 +16,25 @@ import scala.collection.mutable
 object SessionCaches {
   private val reg = mutable.Map[SparkSession, mutable.ListBuffer[DataFrame]]()
 
+  /** Bound on tracked intermediates per session: a caller that never
+    * releases (direct DedupQueries API use without GraftSql.release)
+    * must not grow the registry — and the cached blocks behind it —
+    * without limit. Oldest entries are evicted (unpersisted) first;
+    * correctness is unaffected, an evicted plan just recomputes.
+    */
+  val MaxTrackedPerSession = 32
+
   /** Persist `df` and register it for the session's next [[release]]. */
   def track(df: DataFrame): DataFrame = synchronized {
+    // self-clean: drop registrations of stopped sessions so the registry
+    // never pins a SparkSession past its lifetime
+    reg.filterInPlace((s, _) => !s.sparkContext.isStopped)
     df.persist()
-    reg.getOrElseUpdate(df.sparkSession, mutable.ListBuffer()) += df
+    val buf = reg.getOrElseUpdate(df.sparkSession, mutable.ListBuffer())
+    buf += df
+    while (buf.size > MaxTrackedPerSession) {
+      buf.remove(0).unpersist(blocking = false)
+    }
     df
   }
 

@@ -19,7 +19,8 @@ object IngestBenchCore {
       backfillEps: Double, tailEps: Double, liveRows: Long,
       tailSmallSec: Double, tailSmallEps: Double, tailSmallMor: Boolean,
       readLiveSec: Double, readLiveOverlaySec: Double,
-      changesCleanSec: Double, changesMorSec: Double, changesRows: Long)
+      changesCleanSec: Double, changesMorSec: Double, changesRows: Long,
+      changesMorRows: Long)
 
   def run(spark: SparkSession, n: Long, cores: Int, baseDir: String,
           numBuckets: Int = 64): Result = {
@@ -69,7 +70,7 @@ object IngestBenchCore {
       .map(i => FeedGen.event(cfg3, i)).toDF()
     FeedGen.appendSegment(spark, feedDir, extra2, "tail2")
     val t3 = System.nanoTime()
-    CdcIngest.runAvailableNow(spark, feedDir, tableDir, ckptDir, numBuckets = 64)
+    CdcIngest.runAvailableNow(spark, feedDir, tableDir, ckptDir, numBuckets)
     val tSmall = (System.nanoTime() - t3) / 1e9
 
     val snap = LakeTable.load(tableDir)
@@ -94,16 +95,19 @@ object IngestBenchCore {
     LakeTable.readLive(spark, tableDir).count()
     val tReadOverlay = (System.nanoTime() - t5) / 1e9
 
-    // CDC-out again, now with delta overlays in the read path — the
-    // marginal merge tax a consumer pays between compactions
+    // CDC-out again, now with delta overlays in the read path. NB the
+    // change set is LARGER here (the small-tail and micro epochs landed
+    // in between), so both row counts are published — the clean-vs-MoR
+    // wall delta is overlay collapse + the extra rows, not overlay alone
     val tc1 = System.nanoTime()
-    graft.table.Changelog.changesSince(spark, tableDir, idBackfill).count()
+    val changesMorRows =
+      graft.table.Changelog.changesSince(spark, tableDir, idBackfill).count()
     val tChangesMor = (System.nanoTime() - tc1) / 1e9
 
     Result(n, cores, tGen, tBackfill, tTail,
       n / tBackfill, tailN / tTail, snap.liveRows,
       tSmall, smallN / tSmall, usedMor, tReadLive, tReadOverlay,
-      tChangesClean, tChangesMor, changesRows)
+      tChangesClean, tChangesMor, changesRows, changesMorRows)
   }
 }
 
@@ -145,11 +149,9 @@ object IngestBench {
     val base = java.nio.file.Files.createTempDirectory(root, "run").toString
     val control = PlatformControl.run(spark)
     val r = try IngestBenchCore.run(spark, n, cores, base, buckets)
-    finally java.nio.file.Files.walk(java.nio.file.Paths.get(base))
-      .sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    finally graft.FsUtil.deleteTree(base)
     println(
-      s"""{"metric":"ingest_events_per_sec","value":${r.backfillEps.round},"unit":"events/sec","cores":${r.cores},"events":${r.events},"buckets":$buckets,"control_sec":${f"$control%.2f"},"feedgen_sec":${f"${r.feedgenSec}%.2f"},"backfill_sec":${f"${r.backfillSec}%.2f"},"tail_sec":${f"${r.tailSec}%.2f"},"tail_events_per_sec":${r.tailEps.round},"tail_small_sec":${f"${r.tailSmallSec}%.2f"},"tail_small_events_per_sec":${r.tailSmallEps.round},"tail_small_mor":${r.tailSmallMor},"read_live_sec":${f"${r.readLiveSec}%.2f"},"read_live_mor_sec":${f"${r.readLiveOverlaySec}%.2f"},"changes_since_clean_sec":${f"${r.changesCleanSec}%.2f"},"changes_since_mor_sec":${f"${r.changesMorSec}%.2f"},"changes_rows":${r.changesRows},"live_rows":${r.liveRows}}""")
+      s"""{"metric":"ingest_events_per_sec","value":${r.backfillEps.round},"unit":"events/sec","cores":${r.cores},"events":${r.events},"buckets":$buckets,"control_sec":${f"$control%.2f"},"feedgen_sec":${f"${r.feedgenSec}%.2f"},"backfill_sec":${f"${r.backfillSec}%.2f"},"tail_sec":${f"${r.tailSec}%.2f"},"tail_events_per_sec":${r.tailEps.round},"tail_small_sec":${f"${r.tailSmallSec}%.2f"},"tail_small_events_per_sec":${r.tailSmallEps.round},"tail_small_mor":${r.tailSmallMor},"read_live_sec":${f"${r.readLiveSec}%.2f"},"read_live_mor_sec":${f"${r.readLiveOverlaySec}%.2f"},"changes_since_clean_sec":${f"${r.changesCleanSec}%.2f"},"changes_since_mor_sec":${f"${r.changesMorSec}%.2f"},"changes_rows":${r.changesRows},"changes_mor_rows":${r.changesMorRows},"live_rows":${r.liveRows}}""")
     spark.stop()
   }
 }

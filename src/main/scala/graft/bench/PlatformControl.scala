@@ -23,9 +23,11 @@ object PlatformControl {
 
   private def loop(spark: SparkSession, rowsPerCore: Long): Unit = {
     val p = spark.sparkContext.defaultParallelism
-    // unique range per call: identical plans can reuse shuffle map
-    // outputs within a session, which would time the cache, not the host
-    val base = calls.incrementAndGet() * 1000000L
+    // DISJOINT range per call (stride = the full span): identical plans
+    // can reuse shuffle map outputs within a session, which would time
+    // the cache, not the host — and overlapping ranges would still
+    // canonicalize unequal, so make the disjointness total for free
+    val base = calls.incrementAndGet() * (rowsPerCore * p + 1L)
     spark.range(base, base + rowsPerCore * p, 1, p)
       .select(xxhash64(col("id")).as("h"))
       .agg(avg(col("h")))

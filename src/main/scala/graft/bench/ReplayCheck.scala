@@ -84,9 +84,7 @@ object ReplayCheck {
       println(s"""{"metric":"replay_check","events":$n,"cores":$cores,"epochs":${snap.committedEpochs.size},"ingest_sec":${f"$wall%.1f"},"live_rows":${a.getLong(0)},"oracle_rows":${b.getLong(0)},"equal":$equal,"stable":$stable}""")
       require(equal && stable, "replay check FAILED")
     } finally {
-      java.nio.file.Files.walk(java.nio.file.Paths.get(base))
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      graft.FsUtil.deleteTree(base)
       spark.stop()
     }
   }

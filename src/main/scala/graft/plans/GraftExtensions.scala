@@ -30,11 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("topk_by_score",
         "topk_by_score(score, id, k) - k best (score, id) pairs per group " +
           "under (score DESC, id ASC), as ARRAY<STRUCT<id, score>> in rank order"),
-      (exprs: Seq[Expression]) => TopKByScore(exprs(0), exprs(1), exprs(2) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
-          org.apache.spark.sql.types.IntegerType) => v
-        case other => throw new IllegalArgumentException(
-          s"topk_by_score k must be an integer literal, got $other")
-      })))
+      (exprs: Seq[Expression]) => TopKFunctions.build(exprs)))
   }
 }

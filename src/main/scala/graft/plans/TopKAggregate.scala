@@ -20,9 +20,17 @@ final class TopKBuf(val k: Int) {
   val ids = new Array[Long](k)
   var size = 0
 
-  /** a strictly worse than b in rank order (rank = score desc, id asc). */
-  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-    sa < sb || (sa == sb && ia > ib)
+  /** a strictly worse than b in rank order (rank = score desc, id asc).
+    * Score comparison uses java.lang.Double.compare so NaN orders as the
+    * LARGEST score — matching Spark's sort order (and therefore the
+    * row_number-window formulation) instead of the IEEE `<` operator,
+    * under which NaN compares false both ways and would poison the heap.
+    * -0.0 is normalized to 0.0 at insert, as Spark's sort keys do.
+    */
+  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+    val c = java.lang.Double.compare(sa, sb)
+    c < 0 || (c == 0 && ia > ib)
+  }
 
   private def siftDown(i0: Int): Unit = {
     var i = i0
@@ -51,7 +59,8 @@ final class TopKBuf(val k: Int) {
     }
   }
 
-  def insert(score: Double, id: Long): Unit =
+  def insert(score0: Double, id: Long): Unit = {
+    val score = if (score0 == 0.0) 0.0 else score0 // fold -0.0 into 0.0
     if (size < k) {
       scores(size) = score; ids(size) = id; size += 1
       siftUp(size - 1)
@@ -59,11 +68,12 @@ final class TopKBuf(val k: Int) {
       scores(0) = score; ids(0) = id
       siftDown(0)
     }
+  }
 
   /** Retained pairs in final rank order (best first). */
   def sortedPairs: Array[(Double, Long)] = {
     val out = Array.tabulate(size)(i => (scores(i), ids(i)))
-    out.sortWith { case ((sa, ia), (sb, ib)) => sa > sb || (sa == sb && ia < ib) }
+    out.sortWith { case ((sa, ia), (sb, ib)) => worse(sb, ib, sa, ia) }
   }
 }
 
@@ -96,6 +106,9 @@ case class TopKByScore(
   extends TypedImperativeAggregate[TopKBuf] {
 
   require(k > 0, "topk_by_score requires k > 0")
+  // the buffer is eagerly k-sized per group per partition — an absurd k
+  // (typo, hostile SQL) must fail at analysis, not OOM an executor
+  require(k <= (1 << 20), s"topk_by_score k=$k exceeds the 2^20 buffer ceiling")
 
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
@@ -161,15 +174,20 @@ case class TopKByScore(
   * [[LwwFunctions]]/[[VectorFunctions]]).
   */
 object TopKFunctions {
+  /** Shared SQL builder — one definition for both registration paths
+    * (session registry here, GraftExtensions for spark-submit users) so
+    * literal handling can never diverge between them.
+    */
+  def build(exprs: Seq[Expression]): TopKByScore =
+    TopKByScore(exprs(0), exprs(1), exprs(2) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"topk_by_score k must be an integer literal, got $other")
+    })
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "topk_by_score",
-      exprs => TopKByScore(exprs(0), exprs(1), exprs(2) match {
-        case Literal(v: Int, IntegerType) => v
-        case other => throw new IllegalArgumentException(
-          s"topk_by_score k must be an integer literal, got $other")
-      }),
-      "built-in")
+      "topk_by_score", build, "built-in")
 
   def topk_by_score(spark: SparkSession, score: Column, id: Column, k: Int): Column = {
     register(spark)

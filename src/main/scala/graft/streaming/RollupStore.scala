@@ -91,12 +91,7 @@ object RollupStore {
         .toSeq.sortBy(p => p.getFileName.toString.stripPrefix("v-").toLong)
         .dropRight(keep)
     }
-    old.foreach { p =>
-      scala.util.Using.resource(Files.walk(p)) { st =>
-        st.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
-      }
-    }
+    old.foreach(p => graft.FsUtil.deleteTree(p))
     true
   }
 

@@ -28,6 +28,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(noOracle.isEmpty, s"missing oracle for: $noOracle")
   }
 
+  test("q34 repeat invocations reuse one scratch rollup and agree (no tmpfs leak)") {
+    // the session-scoped scratch dir is reused across calls — the epoch
+    // ledger makes the replayed upserts no-ops, so results must be
+    // identical and no new dir may appear per call
+    def dirs() = Option(new java.io.File("/dev/shm").listFiles())
+      .map(_.count(_.getName.startsWith("graft-q34"))).getOrElse(0)
+    val a = SparkEntry.queries("q34_user_rollup")(spark, sf)
+      .collect().map(_.toString).sorted
+    val nDirs = dirs()
+    val b = SparkEntry.queries("q34_user_rollup")(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+    assert(dirs() == nDirs, "q34 created a new scratch dir on re-invocation")
+  }
+
   test("q31 HLL estimate within 5% of exact") {
     SparkEntry.queries("q31_hll_distinct")(spark, sf).collect().foreach { r =>
       assert(r.getAs[Boolean]("within_5pct"),

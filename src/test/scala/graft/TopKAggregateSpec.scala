@@ -64,6 +64,22 @@ class TopKAggregateSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("NaN and -0.0 scores order like the window formulation (Spark sort order)") {
+    // Spark sorts NaN as the largest double and normalizes -0.0 to 0.0;
+    // the heap comparator must match or user SQL with odd scores diverges
+    // from the documented window-equivalent semantics
+    val df = Seq(
+      (1L, 10L, Double.NaN), (1L, 11L, 5.0), (1L, 12L, 7.0),
+      (1L, 13L, -0.0), (1L, 14L, 0.0)).toDF("query_id", "vec_id", "cos")
+    val a = aggTopK(df, 3).collect().map(_.toString).sorted.toSeq
+    val b = windowTopK(df, 3).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    // insertion-order independence with a NaN present
+    val a2 = aggTopK(df.orderBy($"vec_id".desc).coalesce(1), 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a2 == b)
+  }
+
   test("empty groups and groups smaller than k") {
     val df = Seq((1L, 10L, 0.5), (1L, 11L, 0.7)).toDF("query_id", "vec_id", "cos")
     val got = aggTopK(df, 5).collect().map(r =>
