@@ -135,6 +135,22 @@ object TextQueries {
     // near-dup removal (keep the smaller doc_id of every n-gram-Jaccard
     // pair) ∘ quality gate ∘ token accounting — the composed flow a
     // 100 TB curation job runs, here as one oracle-checked query.
+    // Training-data op: DETERMINISTIC train/valid/test splitting by
+    // portable content hash — the held-out-split assignment every
+    // dataset build needs. Hash-of-key (not rand()) so the split is
+    // stable across reruns, engines and cluster layouts: the same doc
+    // lands in the same split forever, and adding docs never reshuffles
+    // existing assignments (the leakage-safety property). Pure
+    // projection + one aggregate — trivially 100 TB-safe.
+    "t14_split_sample" -> ((s, d) => documents(s, d)
+      .withColumn("bucket", Hashing.h31(col("doc_id").cast("string")) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))),
+
     "t13_corpus_curation" -> ((s, d) => {
       val dupLosers = DedupQueries.ngramJaccardPairs(documents(s, d), 0.8)
         .select(col("doc_b").as("doc_id")).distinct()
@@ -271,6 +287,17 @@ object TextQueries {
          | round(avg(quality),4) AS avg_q
          |FROM q GROUP BY 1""".stripMargin
     },
+    "t14_split_sample" ->
+      s"""SELECT split, count(*) AS n_docs, min(doc_id) AS min_doc,
+         | max(doc_id) AS max_doc
+         |FROM (
+         | SELECT doc_id,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         | FROM (SELECT doc_id,
+         |   ${Hashing.h31Sql("CAST(doc_id AS VARCHAR)")} % 100 AS b
+         |  FROM documents))
+         |GROUP BY 1""".stripMargin,
     "t13_corpus_curation" -> {
       val hits = stopEn.map(w => s"'$w'")
         .mkString("len(list_filter(string_split(lower(text),' '), w -> w IN (", ",", ")))")
