@@ -43,6 +43,7 @@ object Bench {
           .foreach(fn => fn(spark, "/root/testdata/sf0.001").count())
         graft.analytics.SessionCaches.release(spark)
       }
+    graft.analytics.SessionCaches.release(spark)
 
     // platform control for the QUERY suite too (same role as the ingest
     // trials' controls: host drift vs regression, readable from the
@@ -57,12 +58,18 @@ object Bench {
     def runQuery(df: org.apache.spark.sql.DataFrame): Unit =
       if (fullMat) df.write.format("noop").mode("overwrite").save()
       else { df.count(); () }
+    // per-query release drops ANONYMOUS intermediates only; the keyed
+    // run-scope share (the Jaccard pair graph, built by dd03 and reused
+    // by dd07/t13 — the engine's one-pair-stage-per-run design) lives
+    // until the run-end release, and the per-query timings show who
+    // builds vs who reuses
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try runQuery(fn(spark, sfDir)) catch { case _: Throwable => () }
-      finally graft.analytics.SessionCaches.release(spark)
+      finally graft.analytics.SessionCaches.releaseAnonymous(spark)
       name -> (System.nanoTime() - t0) / 1e9
     }
+    graft.analytics.SessionCaches.release(spark)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

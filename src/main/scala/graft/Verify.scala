@@ -26,11 +26,14 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         None
       }
-      // drop the query's persisted intermediates (dedup shingles/
-      // signatures) now that its result is on disk — the session stays
-      // cache-clean between queries
-      finally graft.analytics.SessionCaches.release(spark)
+      // drop the query's ANONYMOUS persisted intermediates (dedup
+      // shingles/signatures) now that its result is on disk — no query
+      // rides another's cached subplans by accident; the deliberately
+      // run-scoped shares (the Jaccard pair graph) persist until the
+      // final release below
+      finally graft.analytics.SessionCaches.releaseAnonymous(spark)
     }
+    graft.analytics.SessionCaches.release(spark)
     graft.sources.ResultExport.writeManifest(outDir, entries)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

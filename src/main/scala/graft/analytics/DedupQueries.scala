@@ -53,6 +53,13 @@ object DedupQueries {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
                         maxDocFreq: Int = 64): DataFrame = {
+    // NB the distinct dedups (doc_id, HASH) while the oracle dedups raw
+    // shingle strings: an IN-DOCUMENT xxhash64 collision would collapse
+    // two distinct shingles and shift that doc's n_sh/doc-freq counts
+    // off the oracle's. Accepted as a ~2^-64-per-pair risk (vs paying a
+    // ~30-byte-string exchange to dedup before hashing); a cross-document
+    // collision only perturbs one `shared` count against the 4-decimal
+    // Jaccard threshold.
     val shRaw = SessionCaches.track(shingles(docs)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .distinct())
@@ -210,64 +217,30 @@ object DedupQueries {
       .filter(col("cos") >= minCos)
   }
 
+  /** The Jaccard pair graph dd03/dd07/t13 all start from, built once
+    * per (session, sfDir, threshold) and deliberately shared across
+    * those queries within a run ([[SessionCaches.memo]]) — a curation
+    * run's pair stage is computed once, not once per consumer.
+    */
+  def sharedJaccardPairs(s: SparkSession, d: String,
+                         threshold: Double): DataFrame =
+    SessionCaches.memo(s, s"jaccard-pairs|$d|$threshold") {
+      ngramJaccardPairs(documents(s, d), threshold)
+    }
+
   /** Near-dup CLUSTERS: connected components over the Jaccard pair
     * graph, labeled by the component's min doc_id (the canonical
     * keeper). Pairwise keeper selection (t13's "drop doc_b of every
     * pair") is not transitive — a chain a~b~c must become ONE cluster
-    * with one keeper, which needs components, not pairs.
-    *
-    * Algorithm: HashMin label propagation — every edge endpoint starts
-    * labeled with itself; each round joins labels across edges and takes
-    * the per-node min; fixpoint when no label changes. Rounds are
-    * bounded by component diameter (near-dup components are
-    * shallow — dup families, mirrors), each round is one bucket join +
-    * hash aggregate, and the convergence check is a scalar count, not a
-    * data collect — the standard distributed-CC shape (at extreme
-    * diameters, pointer-doubling / large-star-small-star variants drop
-    * rounds to O(log n); not needed for dup graphs).
+    * with one keeper, which needs components, not pairs. The CC loop
+    * (HashMin + pointer-doubling escalation, decimal-exact convergence)
+    * lives in [[graft.operators.ConnectedComponents]].
     */
   def dupClusters(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val pairs = ngramJaccardPairs(documents(s, d), threshold)
+    val pairs = sharedJaccardPairs(s, d, threshold)
       .select(col("doc_a"), col("doc_b"))
-    val edges = SessionCaches.track(pairs.unionByName(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
-    var labels = SessionCaches.track(
-      edges.select(col("doc_a").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id")))
-    // convergence via sum(label): labels are per-node non-increasing
-    // under min-propagation, so the sum strictly decreases iff ANY label
-    // changed — one aggregate per round (which also materializes the
-    // round's cache), no old⋈new comparison join
-    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
-    var prevSum = labelSum(labels)
-    var rounds = 0
-    var converged = false
-    val maxRounds = 64
-    while (!converged && rounds < maxRounds) {
-      val prop = edges.join(labels, edges("doc_b") === labels("doc_id"))
-        .select(edges("doc_a").as("doc_id"), col("label"))
-      val next = SessionCaches.track(labels.unionByName(prop)
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label")))
-      val s = labelSum(next)
-      converged = s == prevSum
-      prevSum = s
-      // the superseded round's cache can never be read again — drop it
-      // now so peak cache stays at 2 label copies, not diameter+1
-      labels.unpersist(blocking = false)
-      labels = next
-      rounds += 1
-    }
-    // a silent partial propagation would return NON-transitive clusters;
-    // a component with diameter > maxRounds must fail loudly (real dup
-    // graphs are shallow; a pathological chain needs pointer-doubling,
-    // not more of this loop)
-    if (!converged)
-      throw new IllegalStateException(
-        s"dupClusters did not converge within $maxRounds rounds - " +
-          "component diameter exceeds the HashMin budget; use a " +
-          "pointer-doubling CC variant for chain-shaped graphs")
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    graft.operators.ConnectedComponents.run(s, pairs)
+      .labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -288,8 +261,9 @@ object DedupQueries {
     }),
 
     // n-gram Jaccard near-dup pairs (exact, bucket-join candidates).
-    "dd03_ngram_jaccard" -> ((s, d) =>
-      ngramJaccardPairs(documents(s, d), 0.8)),
+    // Shared with dd07/t13 via the session memo — whichever runs first
+    // pays the pair-stage build.
+    "dd03_ngram_jaccard" -> ((s, d) => sharedJaccardPairs(s, d, 0.8)),
 
     // MinHash+LSH candidates with estimated Jaccard — portable-hash
     // signatures, fully oracle-checked; recall vs exact Jaccard is

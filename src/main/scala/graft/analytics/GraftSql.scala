@@ -28,10 +28,15 @@ object GraftSql {
     graft.plans.TopKFunctions.register(spark)
   }
 
-  /** Drop intermediates the dedup/similarity builders persisted — call
-    * between queries in a long-lived session ([[SessionCaches]]).
+  /** Drop the per-query intermediates the dedup/similarity builders
+    * persisted — call between queries in a long-lived session. Keyed
+    * run-scope shares (the Jaccard pair graph) survive until
+    * [[releaseAll]] ends the run ([[SessionCaches]]).
     */
-  def release(spark: SparkSession): Unit = SessionCaches.release(spark)
+  def release(spark: SparkSession): Unit = SessionCaches.releaseAnonymous(spark)
+
+  /** Drop EVERYTHING this session cached, incl. run-scope shares. */
+  def releaseAll(spark: SparkSession): Unit = SessionCaches.release(spark)
 
   /** Register every testdata table under its own name. */
   def registerTestdata(spark: SparkSession, sfDir: String): Unit = {

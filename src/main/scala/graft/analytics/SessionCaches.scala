@@ -4,44 +4,101 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.mutable
 
 /** Scoped registry for intermediates the dedup/similarity builders
-  * persist (shingle sets, minhash/simhash signatures): the builders
-  * return LAZY DataFrames, so they cannot unpersist inside a
+  * persist (shingle sets, minhash/simhash signatures, pair graphs): the
+  * builders return LAZY DataFrames, so they cannot unpersist inside a
   * try/finally — nothing has been computed yet when they return. Instead
-  * each persist is tracked here and dropped by [[release]], which
-  * callers invoke after materializing a query's result (Verify and Bench
-  * do; long-lived sessions call it between queries). A long-lived
-  * GraftSql session therefore never accumulates cached plans across
-  * queries — the round-2 leak.
+  * each persist is tracked here and dropped by the release calls, which
+  * callers invoke after materializing results (Verify and Bench do;
+  * long-lived sessions call them between queries). A long-lived GraftSql
+  * session therefore never accumulates cached plans without bound — the
+  * round-2 leak.
+  *
+  * Two tracking classes:
+  *  - [[track]]/[[adopt]] — ANONYMOUS intermediates, dropped by
+  *    [[releaseAnonymous]] after every query: no query ever silently
+  *    rides another query's cached subplan (CacheManager matches plan
+  *    fragments globally, which flattered round-2 timings).
+  *  - [[memo]] — KEYED, deliberately SHARED intermediates (the Jaccard
+  *    pair graph dd03/dd07/t13 all start from): built once per
+  *    (session, key), reused until [[release]] ends the run scope. This
+  *    is the engine feature — one curation run computes the pair stage
+  *    once — not an accident of cache matching, and the per-query bench
+  *    timings show exactly who builds and who reuses.
   */
 object SessionCaches {
-  private val reg = mutable.Map[SparkSession, mutable.ListBuffer[DataFrame]]()
+  private final case class Entry(key: Option[String], df: DataFrame)
+  private val reg = mutable.Map[SparkSession, mutable.ListBuffer[Entry]]()
 
   /** Bound on tracked intermediates per session: a caller that never
     * releases (direct DedupQueries API use without GraftSql.release)
     * must not grow the registry — and the cached blocks behind it —
     * without limit. Oldest entries are evicted (unpersisted) first;
     * correctness is unaffected, an evicted plan just recomputes.
+    * Loop-critical frames (ConnectedComponents' edges/labels) are NOT
+    * registered here — they are persist-managed explicitly so eviction
+    * can never hit a frame a driver-side loop still needs.
     */
   val MaxTrackedPerSession = 32
 
-  /** Persist `df` and register it for the session's next [[release]]. */
-  def track(df: DataFrame): DataFrame = synchronized {
+  private def add(spark: SparkSession, e: Entry): Unit = {
     // self-clean: drop registrations of stopped sessions so the registry
     // never pins a SparkSession past its lifetime
     reg.filterInPlace((s, _) => !s.sparkContext.isStopped)
-    df.persist()
-    val buf = reg.getOrElseUpdate(df.sparkSession, mutable.ListBuffer())
-    buf += df
+    val buf = reg.getOrElseUpdate(spark, mutable.ListBuffer())
+    buf += e
     while (buf.size > MaxTrackedPerSession) {
-      buf.remove(0).unpersist(blocking = false)
+      buf.remove(0).df.unpersist(blocking = false)
     }
+  }
+
+  /** Persist `df` and register it as anonymous. */
+  def track(df: DataFrame): DataFrame = synchronized {
+    df.persist()
+    add(df.sparkSession, Entry(None, df))
     df
   }
 
-  /** Unpersist every tracked intermediate of `spark`. Safe anytime: an
-    * unpersisted plan recomputes if re-used, it never breaks a query.
+  /** Register an ALREADY-persisted frame as anonymous (no extra
+    * persist) — for operators that manage materialization themselves
+    * but want the query-scope cleanup.
+    */
+  def adopt(df: DataFrame): DataFrame = synchronized {
+    add(df.sparkSession, Entry(None, df))
+    df
+  }
+
+  /** Build-once-per-(session, key): returns the existing persisted frame
+    * for `key` if still registered, else runs `build`, persists and
+    * registers the result under `key`. Reentrant — `build` may itself
+    * call [[track]].
+    */
+  def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    synchronized {
+      reg.get(spark).flatMap(_.find(_.key.contains(key))) match {
+        case Some(e) => e.df
+        case None =>
+          val df = build
+          df.persist()
+          add(spark, Entry(Some(key), df))
+          df
+      }
+    }
+
+  /** Unpersist the anonymous intermediates of `spark`, keeping keyed
+    * memo entries — the between-queries release.
+    */
+  def releaseAnonymous(spark: SparkSession): Unit = synchronized {
+    reg.get(spark).foreach { buf =>
+      buf.filter(_.key.isEmpty).foreach(_.df.unpersist(blocking = false))
+      buf.filterInPlace(_.key.nonEmpty)
+    }
+  }
+
+  /** Unpersist EVERY tracked intermediate of `spark` (anonymous and
+    * memoized) — the end-of-run release. Safe anytime: an unpersisted
+    * plan recomputes if re-used, it never breaks a query.
     */
   def release(spark: SparkSession): Unit = synchronized {
-    reg.remove(spark).foreach(_.foreach(_.unpersist(blocking = false)))
+    reg.remove(spark).foreach(_.foreach(_.df.unpersist(blocking = false)))
   }
 }

@@ -152,7 +152,7 @@ object TextQueries {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))),
 
     "t13_corpus_curation" -> ((s, d) => {
-      val dupLosers = DedupQueries.ngramJaccardPairs(documents(s, d), 0.8)
+      val dupLosers = DedupQueries.sharedJaccardPairs(s, d, 0.8)
         .select(col("doc_b").as("doc_id")).distinct()
       documents(s, d)
         .withColumn("quality", qualityCol)

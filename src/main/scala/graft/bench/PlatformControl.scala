@@ -21,13 +21,21 @@ object PlatformControl {
 
   private val calls = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Fixed per-call stride for the disjoint ranges, independent of the
+    * caller's rowsPerCore/parallelism: every range this object can emit
+    * (≤ RowsPerCore rows/core, ≤ 64 cores) fits inside one stride, so
+    * ranges are provably disjoint across warm-up and timed calls alike —
+    * a warm-up's small span can never land inside an earlier timed range.
+    */
+  private val CallStride: Long = RowsPerCore * 64L + 1L
+
   private def loop(spark: SparkSession, rowsPerCore: Long): Unit = {
-    val p = spark.sparkContext.defaultParallelism
-    // DISJOINT range per call (stride = the full span): identical plans
+    val p = math.min(spark.sparkContext.defaultParallelism, 64)
+    // DISJOINT range per call (fixed stride ≥ any span): identical plans
     // can reuse shuffle map outputs within a session, which would time
     // the cache, not the host — and overlapping ranges would still
     // canonicalize unequal, so make the disjointness total for free
-    val base = calls.incrementAndGet() * (rowsPerCore * p + 1L)
+    val base = calls.incrementAndGet() * CallStride
     spark.range(base, base + rowsPerCore * p, 1, p)
       .select(xxhash64(col("id")).as("h"))
       .agg(avg(col("h")))

@@ -66,14 +66,20 @@ object ReplayCheck {
         .select(col("url"), col("seq"), col("warc_ts"), col("text"))
       val live = graft.table.LakeTable.readLive(spark, s"$base/table")
         .select(col("url"), col("seq"), col("warc_ts"), col("text"))
+      // order-insensitive exact signature: -delimited fields (no
+      // field-boundary concat collisions), md5 per row, then EXACT sums
+      // of the two 32-bit hash halves — sum(2^32) over even 2^31 rows
+      // stays < Long.Max, and a single differing row cannot cancel (the
+      // old avg-of-first-half with a 1e-6 tolerance could mask one)
       def sig(df: org.apache.spark.sql.DataFrame) = df
-        .select(md5(concat_ws("", col("url"), col("seq"),
+        .select(md5(concat_ws("\u0001", col("url"), col("seq"),
           col("warc_ts").cast("string"), coalesce(col("text"), lit("")))).as("h"))
-        .agg(count(lit(1)), avg(conv(substring(col("h"), 1, 8), 16, 10)
-          .cast("double"))).head
+        .agg(count(lit(1)),
+          sum(conv(substring(col("h"), 1, 8), 16, 10).cast("long")),
+          sum(conv(substring(col("h"), 25, 8), 16, 10).cast("long"))).head
       val (a, b) = (sig(live), sig(oracle))
       val equal = a.getLong(0) == b.getLong(0) &&
-        math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-6
+        a.getLong(1) == b.getLong(1) && a.getLong(2) == b.getLong(2)
 
       // checkpoint restart with nothing new: snapshot must not advance
       graft.streaming.CdcIngest.runAvailableNow(spark, s"$base/feed",

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected pair list —
+  * the clustering core behind near-dup dedup (DedupQueries.dupClusters)
+  * and any other graph-grouping operator.
+  *
+  * Algorithm: HashMin label propagation (every node starts labeled with
+  * itself; each round takes the per-node min of its own and its
+  * neighbors' labels) with POINTER-DOUBLING escalation: past
+  * `hashMinBudget` rounds each round also shortcuts `label ←
+  * label(label)` (one labels⋈labels self-join on narrow (node, label)
+  * pairs). Plain HashMin needs diameter rounds — optimal for the
+  * shallow components dup graphs produce (families, mirrors) at one
+  * bucket join + min-HashAggregate per round; the shortcut bounds
+  * pathological chain-shaped components at O(log diameter) extra rounds
+  * instead of failing, so `maxRounds = 64` covers any graph that fits
+  * in storage (2^56 node chain). Convergence that can't be reached in
+  * `maxRounds` still fails loudly — returning partially-propagated
+  * labels would be silently non-transitive clusters.
+  *
+  * Convergence check: labels are per-node non-increasing under
+  * min-propagation, so sum(label) strictly decreases iff ANY label
+  * changed — one scalar aggregate per round (which also materializes
+  * that round's cache), no old⋈new comparison join. The sum is taken in
+  * decimal(38,0): a Long sum over ~10^9 nodes with ~2^63 ids wraps, and
+  * a wrapped sum can alias "decreased by exactly 2^64" to "unchanged",
+  * silently truncating propagation (regression-pinned in
+  * ConnectedComponentsSpec).
+  *
+  * Cache discipline: `edges` and the two live label frames are
+  * persisted/unpersisted EXPLICITLY here (not via SessionCaches) — the
+  * loop's critical frames must never be evicted mid-run by the
+  * registry's LRU cap. Peak footprint: edges + 2 label copies. The
+  * final labels frame is handed to [[graft.analytics.SessionCaches]] so
+  * the caller's normal release path reclaims it.
+  */
+object ConnectedComponents {
+
+  /** `labels`: (node, label) with label = component-min node id.
+    * `rounds`: total propagation rounds run (spec hook).
+    */
+  final case class CCResult(labels: DataFrame, rounds: Int)
+
+  /** Rounds of plain HashMin before pointer-doubling joins in — covers
+    * real dup-graph diameters without paying the extra self-join.
+    */
+  val HashMinBudget = 8
+  val MaxRounds = 64
+
+  /** `pairs`: one row per undirected edge (src, dst) — any orientation,
+    * duplicates tolerated. Column names are positional (first two).
+    */
+  def run(spark: SparkSession, pairs: DataFrame,
+          hashMinBudget: Int = HashMinBudget,
+          maxRounds: Int = MaxRounds): CCResult = {
+    val Array(cSrc, cDst) = pairs.columns.take(2)
+    val p = pairs.select(col(cSrc).as("src"), col(cDst).as("dst"))
+    val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
+        .head.getDecimal(0)
+    try {
+      var prevSum = labelSum(labels)
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < maxRounds) {
+        val prop = edges.join(labels, edges("dst") === labels("node"))
+          .select(edges("src").as("node"), col("label"))
+        var next = labels.unionByName(prop)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+        if (rounds >= hashMinBudget) {
+          // pointer doubling: label <- label(label). Every label IS a
+          // node id present in `next` (inductively: labels start as
+          // node ids and mins preserve that), so the left join hits for
+          // all but the self-labeled roots it leaves unchanged.
+          val parents = next
+            .select(col("node").as("_pn"), col("label").as("_pl"))
+          next = next.join(parents, col("label") === col("_pn"), "left")
+            .select(col("node"), coalesce(col("_pl"), col("label")).as("label"))
+        }
+        // localCheckpoint, not persist: each round's plan embeds the
+        // previous round's TWICE (prop + union, and the shortcut join
+        // doubles again), so uncut lineage grows 2^rounds and the
+        // driver dies planning round ~20. The checkpoint truncates the
+        // plan to the materialized blocks each round — the standard
+        // iterative-DataFrame discipline. (On a cluster with lossy
+        // executors, a reliable checkpoint dir hardens this the same
+        // way; block loss here just fails the job loudly.)
+        val nextP = next.localCheckpoint(eager = false)
+        val s = labelSum(nextP)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        // the superseded round's cache can never be read again — drop it
+        // now so peak cache stays at 2 label copies, not diameter+1
+        labels.unpersist(blocking = false)
+        labels = nextP
+        rounds += 1
+      }
+      if (!converged) {
+        labels.unpersist(blocking = false)
+        throw new IllegalStateException(
+          s"connected components did not converge within $maxRounds " +
+            "rounds despite pointer doubling - graph exceeds the " +
+            "2^(maxRounds - hashMinBudget) diameter bound")
+      }
+      // hand the (materialized) result to the caller's release scope;
+      // from here on it is a normal query intermediate. NB the result is
+      // lineage-truncated: consume it BEFORE releasing the session's
+      // caches (all engine call sites do) — a released checkpoint cannot
+      // recompute.
+      graft.analytics.SessionCaches.adopt(labels)
+      CCResult(labels, rounds)
+    } finally edges.unpersist(blocking = false)
+  }
+}
