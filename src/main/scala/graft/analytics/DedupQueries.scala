@@ -87,9 +87,9 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  private val MinhashK = 32 // 8 bands × 4 rows
-  private val Bands = 8
-  private val RowsPerBand = MinhashK / Bands
+  private[graft] val MinhashK = 32 // 8 bands × 4 rows
+  private[graft] val Bands = 8
+  private[graft] val RowsPerBand = MinhashK / Bands
 
   /** MinHash signatures: k universal-hash mins over one portable 31-bit
     * shingle hash ([[Hashing.h31]] + the (a·x+b) mod P family). One md5
@@ -109,38 +109,56 @@ object DedupQueries {
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH candidate pairs: docs agreeing on all rows of ≥1 band, with the
-    * minhash-estimated Jaccard (matching rows / k). Est-only — callers
-    * verify with ngramJaccardPairs on the candidates when exactness
-    * matters.
-    *
-    * Shape: band keys are the raw row-value TUPLES (no engine hash — the
-    * oracle joins on the same tuples); the signature table is one narrow
-    * row per doc, so both the band self-join's build side and the two
-    * est joins BROADCAST it — the only shuffle is the band bucket join.
+  /** LSH band-bucket table of a signature frame: one (doc_id, band, bkt)
+    * row per band, where bkt is the raw row-value TUPLE for that band
+    * (no engine hash — the DuckDB oracle joins on the same tuples).
+    * Shared by the batch pair generator and the incremental index
+    * ([[graft.operators.DedupIndex]]), so both produce the identical
+    * candidate space.
     */
-  def minhashLshPairs(docs: DataFrame): DataFrame = {
-    val sig = SessionCaches.track(minhashSignatures(docs))
+  private[graft] def sigBuckets(sig: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         struct((0 until RowsPerBand)
           .map(r => col(s"mh_${b * RowsPerBand + r}").as(s"r$r")): _*).as("bkt"))
     }
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bkt"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+  }
+
+  /** Matching-minhash-rows count between signature sides aliased `a`/`b`
+    * — est_jaccard = this / MinhashK.
+    */
+  private[graft] def sigMatchCount: Column =
+    (0 until MinhashK)
+      .map(i => when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** LSH candidate pairs: docs agreeing on all rows of ≥1 band, with the
+    * minhash-estimated Jaccard (matching rows / k). Est-only — callers
+    * verify with ngramJaccardPairs on the candidates when exactness
+    * matters.
+    *
+    * Shape: band keys are the raw row-value TUPLES ([[sigBuckets]]); the
+    * signature table is one narrow row per doc, so both the band
+    * self-join's build side and the two est joins BROADCAST it — the
+    * only shuffle is the band bucket join. (The incremental variant,
+    * [[graft.operators.DedupIndex]], drops the broadcasts: an INDEX-wide
+    * signature side is not broadcastable at scale.)
+    */
+  def minhashLshPairs(docs: DataFrame): DataFrame = {
+    val sig = SessionCaches.track(minhashSignatures(docs))
+    val buckets = sigBuckets(sig)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val est = (0 until MinhashK)
-      .map(i => when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0))
-      .reduce(_ + _)
     cand
       .join(broadcast(sig.as("a")), col("doc_a") === col("a.doc_id"))
       .join(broadcast(sig.as("b")), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        round(est.cast("double") / MinhashK, 4).as("est_jaccard"))
+        round(sigMatchCount.cast("double") / MinhashK, 4).as("est_jaccard"))
   }
 
   private val SimBits = 60 // 4 bands × 15 bits; 60-bit values stay
@@ -282,7 +300,26 @@ object DedupQueries {
 
     // Near-dup clustering: connected components over the pair graph,
     // min-doc_id canonical labels (transitive keeper selection).
-    "dd07_dup_clusters" -> ((s, d) => dupClusters(s, d, 0.8))
+    "dd07_dup_clusters" -> ((s, d) => dupClusters(s, d, 0.8)),
+
+    // INCREMENTAL near-dup: fold the corpus through a persisted MinHash
+    // signature index in two epochs (deterministic doc_id-parity split);
+    // each epoch is deduped against itself + the index, never against
+    // re-shingled corpus text. The union over epochs must equal the
+    // from-scratch dd04 pair set — same oracle SQL. The index dir is a
+    // per-invocation temp (tiny: 32 ints/doc); the returned frame reads
+    // only files committed at build time (pinned paths), so epoch 0's
+    // lazy plan cannot see epoch 1's append.
+    "dd08_incremental_neardup" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-dd08-index").toString
+      val docs = documents(s, d)
+      val p0 = graft.operators.DedupIndex.foldEpoch(s, dir, 0L,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+      val p1 = graft.operators.DedupIndex.foldEpoch(s, dir, 1L,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      p0.unionByName(p1)
+    })
   )
 
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the SQL
@@ -311,21 +348,12 @@ object DedupQueries {
        | JOIN sizes sb ON sb.doc_id = doc_b
        | WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= $threshold)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "dd01_exact_summary" ->
-      """SELECT count(*) AS n_total, count(DISTINCT md5(text)) AS n_distinct,
-        | count(*) - count(DISTINCT md5(text)) AS n_dups
-        |FROM documents""".stripMargin,
-    "dd02_exact_keeper" ->
-      """SELECT k, count(*) AS n_copies, min(doc_id) AS keeper FROM (
-        | SELECT doc_id, array_to_string((string_split(text,' '))[1:3], ' ') AS k
-        | FROM documents)
-        |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
-    "dd03_ngram_jaccard" ->
-      s"""WITH ${jaccardPairsSqlCtes(0.8)}
-         |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
-    "dd04_minhash_lsh" -> {
-      val minCols = (0 until MinhashK)
+  /** The dd04 DuckDB twin (signatures, band-OR candidates, est) — also
+    * the dd08 oracle: the incremental fold must reproduce this exact
+    * pair set.
+    */
+  private lazy val minhashLshOracleSql: String = {
+    val minCols = (0 until MinhashK)
         .map(i => s"min(${Hashing.uhSql(i, "h")}) AS mh_$i").mkString(",\n |  ")
       val bandOr = (0 until Bands).map { b =>
         "(" + (b * RowsPerBand until (b + 1) * RowsPerBand)
@@ -353,7 +381,25 @@ object DedupQueries {
          |FROM cand c
          |JOIN sig a ON a.doc_id = c.doc_a
          |JOIN sig b ON b.doc_id = c.doc_b""".stripMargin
-    },
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dd01_exact_summary" ->
+      """SELECT count(*) AS n_total, count(DISTINCT md5(text)) AS n_distinct,
+        | count(*) - count(DISTINCT md5(text)) AS n_dups
+        |FROM documents""".stripMargin,
+    "dd02_exact_keeper" ->
+      """SELECT k, count(*) AS n_copies, min(doc_id) AS keeper FROM (
+        | SELECT doc_id, array_to_string((string_split(text,' '))[1:3], ' ') AS k
+        | FROM documents)
+        |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "dd03_ngram_jaccard" ->
+      s"""WITH ${jaccardPairsSqlCtes(0.8)}
+         |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
+    "dd04_minhash_lsh" -> minhashLshOracleSql,
+    // the incremental fold must produce EXACTLY the from-scratch pair
+    // set — same oracle as dd04
+    "dd08_incremental_neardup" -> minhashLshOracleSql,
     "dd05_simhash" -> {
       val bitCols = (0 until SimBits)
         .map(j => s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b_$j")

@@ -1,0 +1,143 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analytics.DedupQueries
+import scala.jdk.CollectionConverters._
+
+/** Incremental near-dup INDEX maintenance: a persisted MinHash
+  * signature table, appended per ingest epoch, that each ARRIVING epoch
+  * is deduped against — so the expensive text work (shingling + k
+  * minhash passes) runs once per document ever, and an epoch's dedup
+  * cost scales with the epoch, not the corpus.
+  *
+  * This closes the one shape batch dedup cannot survive at 100 TB:
+  * dd03/dd04 re-shingle the whole corpus per run, which is fine for a
+  * one-shot curation pass but not for a daily feed — the reference's own
+  * watermark-incremental philosophy ("never recompute what a watermark
+  * lets you skip": /root/reference/convoetl/flows/extraction.py:236-250,
+  * and the maintained `_update_user_stats` aggregate,
+  * /root/reference/convoetl/loaders/sqlite.py:205-236) applied to the
+  * dedup family.
+  *
+  * Layout under `indexDir`:
+  *   sigs/epoch=N/part-....parquet — (doc_id, mh_0..mh_31) per epoch, written
+  *     to a temp dir then ATOMIC_MOVE-renamed: a crashed append leaves
+  *     only an invisible temp, and a redelivered epoch is a no-op
+  *     (same exactly-once posture as LakeTable.commit).
+  *
+  * Equivalence: signatures are per-doc and epoch-independent, and both
+  * the batch op and this index generate candidates from the SAME band
+  * buckets (DedupQueries.sigBuckets), so
+  *   union over epochs E of  pairs(E x (E ∪ index<E))  ==  dd04 pairs
+  * on the cumulative corpus — the within-epoch self-join covers pairs
+  * born in one epoch, the epoch⋈index join covers pairs across epochs,
+  * and no pair is produced twice (its younger side belongs to exactly
+  * one epoch). Oracle-checked as dd08 against the dd04 DuckDB SQL.
+  *
+  * Scale shape: appendEpoch's cost is O(epoch text). epochPairs joins
+  * the epoch's band buckets against the index's — the epoch side is
+  * small, the index side is a NARROW (doc_id, band, 4-int tuple) scan
+  * of the signature parquet (~150 B/doc), never the corpus text (the
+  * ~100×-wider payload). All joins are plain shuffle joins on those
+  * narrow keys — no broadcast of corpus-sized sides. On a real cluster
+  * the sigs table is additionally written bucketBy(band-bucket hash) so
+  * the index side of the candidate join is pre-shuffled on disk and
+  * only the epoch side exchanges; the sandbox has no metastore, so that
+  * layout upgrade is documented rather than wired.
+  */
+object DedupIndex {
+
+  private def sigsRoot(dir: String): Path = Paths.get(dir, "sigs")
+  private def epochPath(dir: String, epochId: Long): Path =
+    sigsRoot(dir).resolve(s"epoch=$epochId")
+
+  /** Epoch ids present in the index, ascending. */
+  def committedEpochs(dir: String): Seq[Long] = {
+    val root = sigsRoot(dir)
+    if (!Files.exists(root)) Nil
+    else Files.list(root).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong)
+      .toSeq.sorted
+  }
+
+  /** Compute `docs`' signatures (doc_id, text → mh_0..mh_31) and commit
+    * them as `epochId`. Idempotent: a redelivered epoch returns false
+    * and writes nothing — the retry contract of an at-least-once feed.
+    */
+  def appendEpoch(spark: SparkSession, dir: String, epochId: Long,
+                  docs: DataFrame): Boolean = {
+    val dst = epochPath(dir, epochId)
+    if (Files.exists(dst)) return false
+    Files.createDirectories(sigsRoot(dir))
+    val tmp = sigsRoot(dir).resolve(s".tmp-epoch-$epochId")
+    DedupQueries.minhashSignatures(docs)
+      .write.mode("overwrite").parquet(tmp.toString)
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    true
+  }
+
+  /** Read the signatures of exactly `epochs` — paths PINNED at plan
+    * time, so a later append can never leak into an earlier epoch's
+    * lazy plan.
+    */
+  def readSigs(spark: SparkSession, dir: String,
+               epochs: Seq[Long]): DataFrame = {
+    require(epochs.nonEmpty, "readSigs of no epochs")
+    spark.read.parquet(epochs.map(e => epochPath(dir, e).toString): _*)
+  }
+
+  /** Near-dup candidate pairs of epoch `epochId` against itself AND the
+    * strictly-older index epochs, with minhash-estimated Jaccard —
+    * byte-identical semantics to the batch [[DedupQueries
+    * .minhashLshPairs]] restricted to pairs whose younger side is in
+    * this epoch. Pairs are (doc_a < doc_b)-oriented regardless of which
+    * side is the new document.
+    */
+  def epochPairs(spark: SparkSession, dir: String, epochId: Long): DataFrame = {
+    val prior = committedEpochs(dir).filter(_ < epochId)
+    val newSigs = readSigs(spark, dir, Seq(epochId))
+    val newB = DedupQueries.sigBuckets(newSigs)
+    val within = newB.as("x").join(newB.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand0 =
+      if (prior.isEmpty) within
+      else {
+        val oldB = DedupQueries.sigBuckets(readSigs(spark, dir, prior))
+        val cross = newB.as("x").join(oldB.as("y"),
+            col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt"))
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+        within.unionByName(cross)
+      }
+    val cand = cand0.distinct()
+    val sigsAll =
+      if (prior.isEmpty) newSigs
+      else newSigs.unionByName(readSigs(spark, dir, prior))
+    // est join-back: plain shuffle joins on doc_id — the index side is
+    // narrow signature rows and at scale is NOT broadcastable (unlike
+    // the batch op's test-scale broadcast)
+    cand
+      .join(sigsAll.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigsAll.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(DedupQueries.sigMatchCount.cast("double") /
+          DedupQueries.MinhashK, 4).as("est_jaccard"))
+  }
+
+  /** Commit `docs` as `epochId` and return its near-dup pairs against
+    * itself ∪ the index — the one-call per-epoch dedup step an ingest
+    * sink runs. The returned frame is lazy but reads only the files
+    * committed up to this epoch (pinned paths).
+    */
+  def foldEpoch(spark: SparkSession, dir: String, epochId: Long,
+                docs: DataFrame): DataFrame = {
+    appendEpoch(spark, dir, epochId, docs)
+    epochPairs(spark, dir, epochId)
+  }
+}

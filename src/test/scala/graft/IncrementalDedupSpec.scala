@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.DedupQueries
+import graft.operators.DedupIndex
+
+/** The incremental dedup index (dd08): epoch-folded pairs must equal
+  * the from-scratch batch op, appends must be idempotent, and lazy
+  * epoch plans must be isolated from later appends.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = graft.analytics.Tables.documents(spark, sf)
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, java.math.BigDecimal)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      new java.math.BigDecimal(r.get(2).toString))).toSet
+
+  private def batchPairs = DedupQueries.minhashLshPairs(docs)
+
+  test("two-epoch fold equals from-scratch MinHash+LSH") {
+    val dir = tmpDir("dd08-two")
+    val p0 = DedupIndex.foldEpoch(spark, dir, 0L,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+    val p1 = DedupIndex.foldEpoch(spark, dir, 1L,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    val inc = pairSet(p0.unionByName(p1))
+    val full = pairSet(batchPairs)
+    assert(full.nonEmpty, "test corpus must contain near-dups")
+    assert(inc === full)
+    graft.analytics.SessionCaches.release(spark)
+  }
+
+  test("three uneven epochs (incl. an empty one) still equal the batch set") {
+    val dir = tmpDir("dd08-three")
+    val e0 = docs.filter(col("doc_id") % 3 === 0)
+    val e1 = docs.filter(col("doc_id") % 3 > 0)
+    val e2 = docs.filter(lit(false)) // an epoch with no documents
+    val all = Seq(e0, e1, e2).zipWithIndex
+      .map { case (e, i) => DedupIndex.foldEpoch(spark, dir, i.toLong, e) }
+      .reduce(_ unionByName _)
+    assert(pairSet(all) === pairSet(batchPairs))
+    graft.analytics.SessionCaches.release(spark)
+  }
+
+  test("redelivered epoch append is a no-op") {
+    val dir = tmpDir("dd08-redeliver")
+    assert(DedupIndex.appendEpoch(spark, dir, 0L, docs))
+    val sigs1 = DedupIndex.readSigs(spark, dir, Seq(0L)).count()
+    // at-least-once retry: same epoch id again — no second write
+    assert(!DedupIndex.appendEpoch(spark, dir, 0L, docs.limit(1)))
+    assert(DedupIndex.readSigs(spark, dir, Seq(0L)).count() === sigs1)
+    assert(DedupIndex.committedEpochs(dir) === Seq(0L))
+  }
+
+  test("an epoch's lazy pair plan is pinned against later appends") {
+    val dir = tmpDir("dd08-pinned")
+    val p0 = DedupIndex.foldEpoch(spark, dir, 0L,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+    // materialize the SAME plan twice, once before and once after a new
+    // epoch lands — a listing-at-execution bug would grow the result
+    val before = p0.count()
+    DedupIndex.appendEpoch(spark, dir, 1L,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    assert(p0.count() === before)
+    graft.analytics.SessionCaches.release(spark)
+  }
+
+  test("epoch signature work is epoch-sized: epoch 1 fold reads index sigs, not corpus text") {
+    val dir = tmpDir("dd08-shape")
+    DedupIndex.foldEpoch(spark, dir, 0L,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)).count()
+    // epoch 1 not appended yet: plan construction fails loudly
+    intercept[Exception] { DedupIndex.epochPairs(spark, dir, 1L) }
+    DedupIndex.appendEpoch(spark, dir, 1L,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    val plan = DedupIndex.epochPairs(spark, dir, 1L)
+      .queryExecution.optimizedPlan.toString
+    // the epoch-1 pair plan must be built ENTIRELY from the signature
+    // parquet — no re-shingling of any document text
+    assert(!plan.contains("text"), "pair plan must not touch corpus text")
+    graft.analytics.SessionCaches.release(spark)
+  }
+}
