@@ -81,7 +81,7 @@ object SimilarityQueries {
     * O(data).
     */
   private def nearestCentroid(s: SparkSession, v: Column,
-                              cents: Seq[(Long, Array[Float])]): Column = {
+                              cents: Seq[(Long, Array[Double])]): Column = {
     val scored = cents.map { case (id, cv) =>
       struct(round(cosine(s, typedLit(cv), v), 4).as("cos"),
         lit(-id).as("negid"))
@@ -90,18 +90,77 @@ object SimilarityQueries {
   }
 
   private def collectCentroids(s: SparkSession, d: String,
-                               kCentroids: Int): Seq[(Long, Array[Float])] =
+                               kCentroids: Int): Seq[(Long, Array[Double])] =
     embeddings(s, d).filter(col("vec_id") < kCentroids)
       .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-      .sortBy(_._1)
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .toSeq.sortBy(_._1)
 
-  /** IVF-style assignment: nearest of K fixed centroids (the first K
-    * vectors — deterministic and oracle-expressible). One pass, no
-    * shuffle until the final per-list aggregate ([[nearestCentroid]]).
+  /** Fixed-point scale for the Lloyd mean update: components are summed
+    * as round(x·10^6) LONGS, so the per-list mean is exact integer
+    * arithmetic — order-independent across partitionings AND engines
+    * (a plain double sum's value depends on partial-aggregation order,
+    * which would make the trained centroids — and every downstream
+    * cosine — nondeterministic run to run).
     */
-  def ivfAssign(s: SparkSession, d: String, kCentroids: Int): DataFrame = {
-    val cents = collectCentroids(s, d, kCentroids)
+  private val KmeansFix = 1e6
+  /** Lloyd iterations for the query-suite IVF entries (fixed —
+    * determinism is part of the oracle contract).
+    */
+  private[analytics] val KmeansIters = 2
+  /** Embedding dimensionality of the testdata corpus (the oracle SQL is
+    * static text, so it cannot read the dim from data; the Spark side
+    * derives it from the vectors and they must agree).
+    */
+  private[analytics] val EmbedDim = 64
+
+  /** Seeded Lloyd refinement of the IVF centroids: init = first-K
+    * vectors (deterministic), then `iters` iterations of
+    *   assign (the shuffle-free [[nearestCentroid]] projection argmax)
+    *   → per-list component means (one codegen'd HashAggregate of
+    *     dim+1 longs per list — the same narrow-aggregate shape as the
+    *     assign pass, so one Lloyd iteration costs one corpus map pass)
+    *   → collect K·dim bounded sums to the driver (O(index params)).
+    * An empty list keeps its previous centroid. Deterministic via fixed
+    * init + fixed iteration count + integer-exact means — the DuckDB
+    * oracle recomputes the identical iterations in SQL
+    * ([[kmeansCentsSqlCtes]]), so the k-means path stays fully
+    * oracle-checked. First-K init quality doesn't matter at test scale;
+    * at 10^9 vectors the refinement is what keeps inverted lists
+    * balanced (list skew = probe-cost skew).
+    */
+  private[analytics] def trainCentroids(s: SparkSession, d: String,
+      kCentroids: Int, iters: Int): Seq[(Long, Array[Double])] = {
+    var cents = collectCentroids(s, d, kCentroids)
+    val dim = cents.head._2.length
+    val e = vecs(s, d)
+    for (_ <- 0 until iters) {
+      val assigned = e
+        .withColumn("win", nearestCentroid(s, col("v"), cents))
+        .select((-col("win.negid")).as("cid"), col("v"))
+      val sums = (0 until dim).map(i =>
+        sum(round(element_at(col("v"), i + 1) * KmeansFix).cast("long"))
+          .as(s"s_$i"))
+      val rows = assigned.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), sums: _*).collect()
+      val upd = rows.map { r =>
+        val n = r.getLong(1)
+        r.getLong(0) ->
+          Array.tabulate(dim)(i => r.getLong(i + 2).toDouble / (n * KmeansFix))
+      }.toMap
+      cents = cents.map { case (id, cv) => (id, upd.getOrElse(id, cv)) }
+    }
+    cents
+  }
+
+  /** IVF-style assignment: nearest of K Lloyd-trained centroids
+    * (deterministic and oracle-expressible — [[trainCentroids]]). One
+    * pass, no shuffle until the final per-list aggregate
+    * ([[nearestCentroid]]).
+    */
+  def ivfAssign(s: SparkSession, d: String, kCentroids: Int,
+                iters: Int = KmeansIters): DataFrame = {
+    val cents = trainCentroids(s, d, kCentroids, iters)
     vecs(s, d)
       .withColumn("win", nearestCentroid(s, col("v"), cents))
       .select((-col("win.negid")).as("centroid_id"), col("win.cos").as("cos"))
@@ -120,9 +179,9 @@ object SimilarityQueries {
     * asserted in DedupSimilaritySpec.
     */
   def ivfSearch(s: SparkSession, d: String, kCentroids: Int, nProbe: Int,
-                nQueries: Int, k: Int): DataFrame = {
+                nQueries: Int, k: Int, iters: Int = KmeansIters): DataFrame = {
     val e = vecs(s, d)
-    val cents = collectCentroids(s, d, kCentroids)
+    val cents = trainCentroids(s, d, kCentroids, iters)
     // corpus side: assignment is a projection (no shuffle, no ×K rows) —
     // the corpus is touched by exactly ONE map pass before the bounded
     // top-k partials
@@ -185,6 +244,43 @@ object SimilarityQueries {
       ivfSearch(s, d, kCentroids = 8, nProbe = 3, nQueries = 10, k = 5))
   )
 
+  /** DuckDB CTE chain recomputing [[trainCentroids]]' exact iterations:
+    * ends in `cents$iters(cid, cv DOUBLE[])`. The mean update runs over
+    * the same round(x·10^6)-as-BIGINT sums, so the centroid doubles are
+    * bit-identical across engines (integer sums are order-independent;
+    * the final s/(n·10^6) is one IEEE division of identical operands).
+    */
+  private def kmeansCentsSqlCtes(k: Int, iters: Int): String = {
+    val dim = EmbedDim
+    val chain = new StringBuilder
+    chain ++=
+      s"""cents0 AS (
+         | SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         | FROM embeddings WHERE vec_id < $k)""".stripMargin
+    for (t <- 1 to iters) {
+      val sumCols = (0 until dim)
+        .map(i => s"sum(CAST(round(v[${i + 1}]*1000000) AS BIGINT)) AS s_$i")
+        .mkString(", ")
+      val meanList = (0 until dim)
+        .map(i => s"a.s_$i/(a.n*1000000.0)").mkString("[", ", ", "]")
+      chain ++= s""",
+         |asg$t AS (
+         | SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
+         |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |     round(list_cosine_similarity(c.cv, CAST(e.embedding AS DOUBLE[])), 4) DESC,
+         |     c.cid) AS rn
+         |  FROM embeddings e JOIN cents${t - 1} c ON true)
+         | WHERE rn = 1),
+         |sums$t AS (
+         | SELECT cid, count(*) AS n, $sumCols FROM asg$t GROUP BY 1),
+         |cents$t AS (
+         | SELECT c.cid, CASE WHEN a.n IS NULL THEN c.cv ELSE $meanList END AS cv
+         | FROM cents${t - 1} c LEFT JOIN sums$t a ON a.cid = c.cid)""".stripMargin
+    }
+    chain.toString
+  }
+
   val oracles: Map[String, String] = Map(
     // NB: ranks order by the ROUNDED cosine + vec_id on both sides, so
     // sub-1e-4 float noise cannot flip a rank across engines.
@@ -211,20 +307,21 @@ object SimilarityQueries {
          |WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.3""".stripMargin
     },
     "s02_ivf_assign" ->
-      """WITH s AS (
-        | SELECT v.vec_id, c.vec_id AS centroid_id,
-        |  round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      s"""WITH ${kmeansCentsSqlCtes(8, KmeansIters)},
+        |s AS (
+        | SELECT v.vec_id, c.cid AS centroid_id,
+        |  round(list_cosine_similarity(c.cv,
         |    CAST(v.embedding AS DOUBLE[])), 4) AS cos
-        | FROM embeddings v JOIN embeddings c ON c.vec_id < 8),
+        | FROM embeddings v JOIN cents$KmeansIters c ON true),
         |scored AS (SELECT vec_id, centroid_id, cos,
         |  row_number() OVER (PARTITION BY vec_id
         |    ORDER BY cos DESC, centroid_id) AS rn FROM s)
         |SELECT centroid_id, count(*) AS n_vecs, round(avg(cos),4) AS avg_cos
         |FROM scored WHERE rn = 1 GROUP BY 1""".stripMargin,
     "s04_ivf_search" ->
-      """WITH cents AS (
-        | SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
-        | FROM embeddings WHERE vec_id < 8),
+      s"""WITH ${kmeansCentsSqlCtes(8, KmeansIters)},
+        |cents AS (
+        | SELECT cid AS centroid_id, cv FROM cents$KmeansIters),
         |lists AS (
         | SELECT vec_id, v, centroid_id AS list_id FROM (
         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.centroid_id,
