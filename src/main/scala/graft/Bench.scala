@@ -89,18 +89,33 @@ object Bench {
     java.nio.file.Files.createDirectories(benchRoot)
     def freshDir(tag: String) =
       java.nio.file.Files.createTempDirectory(benchRoot, tag).toString
+    // trial schedule (round 4): one untimed 1M warm-up, then >=3 timed
+    // full-size trials of which trial 1 is LABELED warmup (JIT/codegen
+    // at the 16M shape - r3 measured a 2.4x cold-vs-warm spread with
+    // identical controls) and the headline is the MEDIAN of the warm
+    // remainder: a stable number readers can compare across rounds
+    // without inspecting per-trial walls. Best-of-all is still published
+    // for continuity with the r1-r3 series.
+    val nTrials = math.max(sys.env.getOrElse("SPARK_GRAFT_INGEST_TRIALS", "4").toInt, 2)
     graft.bench.IngestBenchCore.run(spark, 1000000L, cpus, freshDir("warm"))
-    val trials = try (1 to 2).map { _ =>
+    val trials = try (1 to nTrials).map { _ =>
       val control = graft.bench.PlatformControl.run(spark)
       (control, graft.bench.IngestBenchCore.run(spark, ingestN, cpus, freshDir("run")))
     }
     finally graft.FsUtil.deleteTree(benchRoot)
     val ing = trials.map(_._2).maxBy(_.backfillEps)
-    val trialsJson = trials.map { case (c, r) =>
-      s"""{"control_sec":${f"$c%.2f"},"backfill_sec":${f"${r.backfillSec}%.2f"},"tail_sec":${f"${r.tailSec}%.2f"},"tail_small_sec":${f"${r.tailSmallSec}%.2f"},"backfill_events_per_sec":${r.backfillEps.round}}"""
+    val warm = trials.drop(1).map(_._2)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val warmMedianEps = median(warm.map(_.backfillEps))
+    val warmMedianTailEps = median(warm.map(_.tailEps))
+    val trialsJson = trials.zipWithIndex.map { case ((c, r), i) =>
+      s"""{"role":"${if (i == 0) "warmup" else "warm"}","control_sec":${f"$c%.2f"},"backfill_sec":${f"${r.backfillSec}%.2f"},"tail_sec":${f"${r.tailSec}%.2f"},"tail_small_sec":${f"${r.tailSmallSec}%.2f"},"backfill_events_per_sec":${r.backfillEps.round}}"""
     }.mkString("[", ",", "]")
 
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","query_control_sec":${f"$queryControl%.2f"},"queries":$qs,"sf":"$sfDir","ingest_events_per_sec":${ing.backfillEps.round},"ingest_tail_events_per_sec":${ing.tailEps.round},"ingest_tail_small_sec":${f"${ing.tailSmallSec}%.2f"},"ingest_tail_small_mor":${ing.tailSmallMor},"ingest_events":${ing.events},"ingest_backfill_sec":${f"${ing.backfillSec}%.2f"},"ingest_trials":$trialsJson,"changes_since_clean_sec":${f"${ing.changesCleanSec}%.2f"},"changes_since_mor_sec":${f"${ing.changesMorSec}%.2f"},"changes_rows":${ing.changesRows},"changes_mor_rows":${ing.changesMorRows},"read_live_sec":${f"${ing.readLiveSec}%.2f"},"read_live_mor_sec":${f"${ing.readLiveOverlaySec}%.2f"},"cores":$cpus}"""
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","query_control_sec":${f"$queryControl%.2f"},"queries":$qs,"sf":"$sfDir","ingest_warm_median_events_per_sec":${warmMedianEps.round},"ingest_warm_median_tail_events_per_sec":${warmMedianTailEps.round},"ingest_events_per_sec":${ing.backfillEps.round},"ingest_tail_events_per_sec":${ing.tailEps.round},"ingest_tail_small_sec":${f"${ing.tailSmallSec}%.2f"},"ingest_tail_small_mor":${ing.tailSmallMor},"ingest_events":${ing.events},"ingest_backfill_sec":${f"${ing.backfillSec}%.2f"},"ingest_trials":$trialsJson,"changes_since_clean_sec":${f"${ing.changesCleanSec}%.2f"},"changes_since_mor_sec":${f"${ing.changesMorSec}%.2f"},"changes_rows":${ing.changesRows},"changes_mor_rows":${ing.changesMorRows},"read_live_sec":${f"${ing.readLiveSec}%.2f"},"read_live_mor_sec":${f"${ing.readLiveOverlaySec}%.2f"},"cores":$cpus}"""
     // stdout (bare line — build.sbt pins outputStrategy so sbt does not
     // prefix it) AND a file, so the driver can parse either
     println(line)

@@ -87,7 +87,7 @@ object ReplayCheck {
       val stable =
         graft.table.LakeTable.load(s"$base/table").snapshotId == snap.snapshotId
 
-      println(s"""{"metric":"replay_check","events":$n,"cores":$cores,"epochs":${snap.committedEpochs.size},"ingest_sec":${f"$wall%.1f"},"live_rows":${a.getLong(0)},"oracle_rows":${b.getLong(0)},"equal":$equal,"stable":$stable}""")
+      println(s"""{"metric":"replay_check","events":$n,"cores":$cores,"epochs":${snap.totals.epochs},"ingest_sec":${f"$wall%.1f"},"live_rows":${a.getLong(0)},"oracle_rows":${b.getLong(0)},"equal":$equal,"stable":$stable}""")
       require(equal && stable, "replay check FAILED")
     } finally {
       graft.FsUtil.deleteTree(base)

@@ -127,7 +127,7 @@ object MergeInto {
             broadcastKeyLimit: Long = BroadcastKeyLimit): MergeResult = {
     val t0 = System.nanoTime()
     val snap = LakeTable.load(tableDir)
-    if (snap.committedEpochs.contains(epochId))
+    if (snap.isCommitted(epochId))
       return MergeResult(snap, applied = false, 0L, 0L, 0L, 0L)
     def elapsedMs = (System.nanoTime() - t0) / 1000000L
 
@@ -199,10 +199,8 @@ object MergeInto {
         max(col("_n_events")).as("maxUrl")).collect()
       phase("keyAgg+bstats")
       if (bstats.isEmpty) {
-        val s2 = snap.copy(
-          snapshotId = snap.snapshotId + 1, parentId = snap.snapshotId,
-          committedEpochs = (snap.committedEpochs :+ epochId).sorted,
-          epochStats = snap.epochStats :+ EpochStat(epochId, 0, 0, 0, 0, 0.0))
+        val s2 = snap.withEpoch(epochId, EpochStat(epochId, 0, 0, 0, 0, 0.0))
+          .copy(snapshotId = snap.snapshotId + 1, parentId = snap.snapshotId)
         LakeTable.commit(tableDir, s2, expectParent = snap.snapshotId)
         return MergeResult(s2, applied = true, 0L, 0L, 0L, elapsedMs)
       }
@@ -295,15 +293,14 @@ object MergeInto {
             winners, touched, suffix = "-delta", kind = "delta")
           phase("winners+deltaWrite+stats")
           val durMs = elapsedMs
-          val s2 = snap.copy(
-            snapshotId = newId, parentId = snap.snapshotId,
-            committedEpochs = (snap.committedEpochs :+ epochId).sorted,
-            files = snap.files ++ newFiles,
-            lineage = lineage,
-            epochStats = snap.epochStats :+ EpochStat(epochId, events, upsW,
-              delW, durMs, if (durMs > 0) events * 1000.0 / durMs else 0.0),
-            liveRows = snap.liveRows + newFiles.map(_.live).sum,
-            tombstones = snap.tombstones + newFiles.map(_.tombs).sum)
+          val s2 = snap.withEpoch(epochId, EpochStat(epochId, events, upsW,
+              delW, durMs, if (durMs > 0) events * 1000.0 / durMs else 0.0))
+            .copy(
+              snapshotId = newId, parentId = snap.snapshotId,
+              files = snap.files ++ newFiles,
+              lineage = lineage,
+              liveRows = snap.liveRows + newFiles.map(_.live).sum,
+              tombstones = snap.tombstones + newFiles.map(_.tombs).sum)
           LakeTable.commit(tableDir, s2, expectParent = snap.snapshotId)
           phase("commit")
           return MergeResult(s2, applied = true, events, upsW, delW, durMs)
@@ -378,15 +375,14 @@ object MergeInto {
           snap.files.filterNot(f => touchedSet.contains(f.bucket))
         val oldTouched = snap.files.filter(f => touchedSet.contains(f.bucket))
         val durMs = elapsedMs
-        val s2 = snap.copy(
-          snapshotId = newId, parentId = snap.snapshotId,
-          committedEpochs = (snap.committedEpochs :+ epochId).sorted,
-          files = keptFiles ++ newFiles,
-          lineage = lineage,
-          epochStats = snap.epochStats :+ EpochStat(epochId, events, upsW, delW,
-            durMs, if (durMs > 0) events * 1000.0 / durMs else 0.0),
-          liveRows = snap.liveRows - oldTouched.map(_.live).sum + newFiles.map(_.live).sum,
-          tombstones = snap.tombstones - oldTouched.map(_.tombs).sum + newFiles.map(_.tombs).sum)
+        val s2 = snap.withEpoch(epochId, EpochStat(epochId, events, upsW, delW,
+            durMs, if (durMs > 0) events * 1000.0 / durMs else 0.0))
+          .copy(
+            snapshotId = newId, parentId = snap.snapshotId,
+            files = keptFiles ++ newFiles,
+            lineage = lineage,
+            liveRows = snap.liveRows - oldTouched.map(_.live).sum + newFiles.map(_.live).sum,
+            tombstones = snap.tombstones - oldTouched.map(_.tombs).sum + newFiles.map(_.tombs).sum)
         LakeTable.commit(tableDir, s2, expectParent = snap.snapshotId)
         phase("commit")
         MergeResult(s2, applied = true, events, upsW, delW, durMs)

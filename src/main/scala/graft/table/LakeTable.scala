@@ -31,9 +31,34 @@ case class EpochStat(
     epochId: Long, events: Long, upserts: Long, deletes: Long,
     durationMs: Long, eventsPerSec: Double)
 
+/** Lifetime epoch-metric totals — the rolled-up remainder once
+  * individual [[EpochStat]] rows age out of the manifest's bounded
+  * window ([[LakeTable.EpochStatsWindow]]). Maintained on every commit,
+  * so `totals` always covers ALL epochs ever, window or not.
+  */
+case class EpochTotals(
+    epochs: Long = 0L, events: Long = 0L, upserts: Long = 0L,
+    deletes: Long = 0L, durationMs: Long = 0L) {
+  def add(s: EpochStat): EpochTotals = EpochTotals(
+    epochs + 1, events + s.events, upserts + s.upserts,
+    deletes + s.deletes, durationMs + s.durationMs)
+}
+
 /** Immutable snapshot manifest. `lineage` maps bucket → max applied seq
-  * (per-partition lineage offsets, north_rule). `committedEpochs` is the
-  * exactly-once ledger: a replayed epochId is a no-op.
+  * (per-partition lineage offsets, north_rule).
+  *
+  * Exactly-once ledger, BOUNDED (a manifest rewritten every epoch must
+  * not grow with epoch count — the metadata-chain failure mode of a
+  * 10^5-epoch table): `epochFloor` means "every epochId ≤ floor is
+  * committed" and `committedEpochs` holds only committed ids ABOVE the
+  * floor. The floor only advances over a CONTIGUOUS committed prefix
+  * (streaming epochIds are 0,1,2,… so the list stays empty in steady
+  * state); sparse manual ids simply stay in the list. Epoch ids must be
+  * ≥ 0. Use [[Snapshot.isCommitted]], never `committedEpochs.contains`.
+  *
+  * `epochStats` is likewise a bounded window of the most recent
+  * [[LakeTable.EpochStatsWindow]] epochs; `totals` carries the lifetime
+  * aggregate of everything that aged out (and everything in-window).
   */
 case class Snapshot(
     snapshotId: Long,
@@ -45,7 +70,31 @@ case class Snapshot(
     lineage: Map[String, Long],
     epochStats: List[EpochStat],
     liveRows: Long,
-    tombstones: Long)
+    tombstones: Long,
+    epochFloor: Long = -1L,
+    totals: EpochTotals = EpochTotals()) {
+
+  def isCommitted(epochId: Long): Boolean =
+    epochId <= epochFloor || committedEpochs.contains(epochId)
+
+  /** Ledger + stats update for one newly-committed epoch (bounded in
+    * both dimensions); the caller composes file/lineage changes on top.
+    */
+  def withEpoch(epochId: Long, stat: EpochStat): Snapshot = {
+    require(epochId >= 0, s"epoch ids must be >= 0, got $epochId")
+    var floor = epochFloor
+    var rest = (committedEpochs :+ epochId).filter(_ > floor).distinct.sorted
+    while (rest.nonEmpty && rest.head == floor + 1) {
+      floor = rest.head
+      rest = rest.tail
+    }
+    copy(
+      committedEpochs = rest,
+      epochFloor = floor,
+      epochStats = (epochStats :+ stat).takeRight(LakeTable.EpochStatsWindow),
+      totals = totals.add(stat))
+  }
+}
 
 /** A minimal snapshot-committed lake table ("Iceberg-v2 semantics rebuilt"
   * — no Iceberg jar ships in this env, SURVEY §7.0).
@@ -66,6 +115,12 @@ case class Snapshot(
   */
 object LakeTable {
   implicit val fmts: Formats = DefaultFormats
+
+  /** Recent-epoch metric rows retained in the manifest; older rows fold
+    * into `Snapshot.totals`. 256 covers any operational "what just
+    * happened" query while keeping the manifest O(1) in epoch count.
+    */
+  val EpochStatsWindow: Int = 256
 
   private def meta(dir: String): Path = Paths.get(dir, "meta")
   private def currentPtr(dir: String): Path = meta(dir).resolve("CURRENT")
@@ -258,7 +313,9 @@ object LakeTable {
   /** The per-epoch ingest metrics ledger as a DataFrame — the queryable
     * `etl_runs` analog (reference users inspect it directly:
     * /root/reference/db/scripts/check_db.py:20–106). Columns: epochId,
-    * events, upserts, deletes, durationMs, eventsPerSec.
+    * events, upserts, deletes, durationMs, eventsPerSec. Windowed to the
+    * most recent [[EpochStatsWindow]] epochs; lifetime aggregates live
+    * in `Snapshot.totals`.
     */
   def epochStats(spark: SparkSession, dir: String): DataFrame =
     spark.createDataFrame(load(dir).epochStats)

@@ -28,11 +28,24 @@ object Maintenance {
     if (!Files.exists(dataRoot)) return 0
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
+    // a Hadoop local-FS CRC sibling (".<name>.crc") is reclaimable iff
+    // its data file is — left unmatched they accumulate one per
+    // superseded write forever (the 10^4-epoch soak surfaced ~9 stale
+    // CRCs per epoch). Object stores have no CRC siblings; this is the
+    // local-FS-correctness branch.
+    def dataTwin(p: Path): Path = {
+      val n = p.getFileName.toString
+      if (n.startsWith(".") && n.endsWith(".crc"))
+        p.resolveSibling(n.stripPrefix(".").stripSuffix(".crc"))
+      else p
+    }
     Files.walk(dataRoot).iterator().asScala
       .filter(p => Files.isRegularFile(p))
-      .filter(p => p.getFileName.toString.endsWith(".parquet") ||
-        p.getFileName.toString.startsWith("_"))
-      .filter(p => !referenced.contains(p.toAbsolutePath.normalize))
+      .filter { p =>
+        val n = dataTwin(p).getFileName.toString
+        n.endsWith(".parquet") || n.startsWith("_")
+      }
+      .filter(p => !referenced.contains(dataTwin(p).toAbsolutePath.normalize))
       .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
       .foreach { p => Files.deleteIfExists(p); deleted += 1 }
     // drop now-empty snapshot directories
@@ -45,20 +58,57 @@ object Maintenance {
     deleted
   }
 
+  /** Default retained snapshot manifests — enough history for time
+    * travel / changelog consumers that poll within ~a day of epochs at
+    * operational cadence, while keeping meta/ O(1) in table lifetime.
+    */
+  val DefaultKeepManifests: Int = 64
+
+  /** Delete snapshot manifests older than the newest `keepLast`
+    * (CURRENT is always kept). The Iceberg expire-snapshots analog:
+    * time travel / `Changelog.changesSince` to an expired snapshot id
+    * fails loudly with its existing "does not exist" require —
+    * consumers re-baseline, the standard CDC-out contract. Returns the
+    * number of manifests deleted.
+    *
+    * Without expiry a 10^5-epoch table carries 10^5 manifest files —
+    * the metadata-chain growth failure mode (MetadataSoak measures the
+    * with-expiry steady state).
+    */
+  def expireSnapshots(dir: String, keepLast: Int = DefaultKeepManifests): Int = {
+    require(keepLast >= 1)
+    val cur = LakeTable.load(dir).snapshotId
+    val metaDir = Paths.get(dir, "meta")
+    var deleted = 0
+    Files.list(metaDir).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("v") && n.endsWith(".json")
+      }
+      .filter { p =>
+        val id = p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong
+        id <= cur - keepLast
+      }
+      .foreach { p => Files.deleteIfExists(p); deleted += 1 }
+    deleted
+  }
+
   /** One-call maintenance policy for an operator cron job: compact when
     * the merge-on-read overlay has grown past `maxDeltaFiles` (or when a
     * tombstone horizon is given — expiry only happens through a
     * compaction pass), then vacuum unreachable files older than
-    * `vacuumGraceMs`. Returns (compacted?, filesVacuumed). The thresholds
-    * bound the read-side merge tax and the orphan footprint without a
-    * human in the loop — the engine-side analog of the reference's
-    * scheduler-driven upkeep (scheduler.py), expressed as policy over
-    * the manifest instead of cron-driven SQL.
+    * `vacuumGraceMs` and expire superseded snapshot manifests beyond
+    * `keepManifests`. Returns (compacted?, filesVacuumed). The
+    * thresholds bound the read-side merge tax, the orphan footprint AND
+    * the metadata chain without a human in the loop — the engine-side
+    * analog of the reference's scheduler-driven upkeep (scheduler.py),
+    * expressed as policy over the manifest instead of cron-driven SQL.
     */
   def autoMaintain(spark: SparkSession, dir: String,
                    maxDeltaFiles: Int = 16,
                    tombstoneHorizonMs: Long = Long.MinValue,
-                   vacuumGraceMs: Long = 3600000L): (Boolean, Int) = {
+                   vacuumGraceMs: Long = 3600000L,
+                   keepManifests: Int = DefaultKeepManifests): (Boolean, Int) = {
     val snap = LakeTable.load(dir)
     val deltas = snap.files.count(_.kind == "delta")
     val expirable = tombstoneHorizonMs != Long.MinValue &&
@@ -66,6 +116,7 @@ object Maintenance {
     val doCompact = deltas > maxDeltaFiles || expirable
     if (doCompact) compact(spark, dir, tombstoneHorizonMs)
     val vacuumed = vacuum(dir, vacuumGraceMs)
+    expireSnapshots(dir, keepManifests)
     (doCompact, vacuumed)
   }
 

@@ -118,8 +118,10 @@ class IngestSpec extends SparkSpec {
 
     // ledger: all 4 epochs committed exactly once; lineage non-empty
     val snap = LakeTable.load(tableDir)
-    assert(snap.committedEpochs === List(0L, 1L, 2L, 3L))
+    assert((0L to 3L).forall(snap.isCommitted))
+    assert(snap.epochFloor === 3L && snap.committedEpochs.isEmpty)
     assert(snap.epochStats.map(_.epochId) === List(0L, 1L, 2L, 3L))
+    assert(snap.totals.epochs === 4L)
     assert(snap.lineage.nonEmpty)
     assert(snap.liveRows === exp.count())
   }

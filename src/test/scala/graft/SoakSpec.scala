@@ -59,7 +59,10 @@ class SoakSpec extends SparkSpec {
 
     // ledger: every epoch exactly once, lineage covers the whole WAL
     val snap = LakeTable.load(s"$base/t")
-    assert(snap.committedEpochs.distinct.size === snap.committedEpochs.size)
+    // bounded ledger: contiguous streaming epochs collapse into the
+    // floor, the above-floor list stays empty, totals count every epoch
+    assert(snap.committedEpochs.isEmpty)
+    assert(snap.epochFloor === snap.totals.epochs - 1)
     assert(snap.lineage.values.max === cfg.n - 1)
   }
 }

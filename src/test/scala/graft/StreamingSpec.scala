@@ -87,8 +87,8 @@ class StreamingSpec extends SparkSpec {
     assert(key(LakeTable.readLive(spark, s"$base/tB")) ===
       key(oracle(FeedGen.readFeed(spark, s"$base/feedB"))))
     // ledgers are per-table: both committed their own epochs
-    assert(LakeTable.load(s"$base/tA").committedEpochs.nonEmpty)
-    assert(LakeTable.load(s"$base/tB").committedEpochs.nonEmpty)
+    assert(LakeTable.load(s"$base/tA").totals.epochs > 0)
+    assert(LakeTable.load(s"$base/tB").totals.epochs > 0)
   }
 
   test("streaming multi-epoch ingest == batch LWW oracle; resume on new segment") {
@@ -101,7 +101,7 @@ class StreamingSpec extends SparkSpec {
     CdcIngest.runAvailableNow(spark, feedDir, tableDir, ckpt,
       numBuckets = 8, maxFilesPerTrigger = Some(2))
     val snap1 = LakeTable.load(tableDir)
-    assert(snap1.committedEpochs.size > 1, "expected multiple epochs")
+    assert(snap1.totals.epochs > 1, "expected multiple epochs")
     assert(key(LakeTable.readLive(spark, tableDir)) ===
       key(oracle(FeedGen.readFeed(spark, feedDir))))
 
@@ -117,7 +117,7 @@ class StreamingSpec extends SparkSpec {
     CdcIngest.runAvailableNow(spark, feedDir, tableDir, ckpt,
       numBuckets = 8, maxFilesPerTrigger = Some(2))
     val snap2 = LakeTable.load(tableDir)
-    assert(snap2.committedEpochs.size > snap1.committedEpochs.size)
+    assert(snap2.totals.epochs > snap1.totals.epochs)
     assert(key(LakeTable.readLive(spark, tableDir)) ===
       key(oracle(FeedGen.readFeed(spark, feedDir))))
     // lineage advanced to the new max seq
@@ -125,8 +125,8 @@ class StreamingSpec extends SparkSpec {
 
     // exactly-once: a redelivered epoch (simulated foreachBatch retry)
     val someBatch = FeedGen.readFeed(spark, feedDir).filter($"seq" < 1000)
-    val r = MergeInto.merge(spark, tableDir, someBatch,
-      snap2.committedEpochs.head)
+    val r = MergeInto.merge(spark, tableDir, someBatch, 0L)
+    assert(snap2.isCommitted(0L))
     assert(!r.applied)
     assert(LakeTable.load(tableDir).snapshotId === snap2.snapshotId)
   }
