@@ -63,6 +63,10 @@ object ConnectedComponents {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist()
+    // `wrapped` is the view the NEXT round's plan is built from: after
+    // each materialization it becomes a LogicalRDD over the cached rows
+    // so round plans stay constant-size (see the persist comment below)
+    var wrapped = labels
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
@@ -72,9 +76,9 @@ object ConnectedComponents {
       var rounds = 0
       var converged = false
       while (!converged && rounds < maxRounds) {
-        val prop = edges.join(labels, edges("dst") === labels("node"))
+        val prop = edges.join(wrapped, edges("dst") === wrapped("node"))
           .select(edges("src").as("node"), col("label"))
-        var next = labels.unionByName(prop)
+        var next = wrapped.unionByName(prop)
           .groupBy(col("node")).agg(min(col("label")).as("label"))
         if (rounds >= hashMinBudget) {
           // pointer doubling: label <- label(label). Every label IS a
@@ -86,15 +90,18 @@ object ConnectedComponents {
           next = next.join(parents, col("label") === col("_pn"), "left")
             .select(col("node"), coalesce(col("_pl"), col("label")).as("label"))
         }
-        // localCheckpoint, not persist: each round's plan embeds the
-        // previous round's TWICE (prop + union, and the shortcut join
-        // doubles again), so uncut lineage grows 2^rounds and the
-        // driver dies planning round ~20. The checkpoint truncates the
-        // plan to the materialized blocks each round — the standard
-        // iterative-DataFrame discipline. (On a cluster with lossy
-        // executors, a reliable checkpoint dir hardens this the same
-        // way; block loss here just fails the job loudly.)
-        val nextP = next.localCheckpoint(eager = false)
+        // persist + RDD-wrap, not raw chaining: each round's Catalyst
+        // plan embeds the previous round's TWICE (prop + union, and the
+        // shortcut join doubles again), so uncut lineage grows 2^rounds
+        // and the driver dies planning round ~20. After materializing
+        // the round (the labelSum action), the next round builds on a
+        // LogicalRDD wrapper over the cached rows — constant-size plans
+        // every round. persist (CacheManager), NOT localCheckpoint: a
+        // checkpoint's RDD blocks bypass the CacheManager and outlive
+        // Dataset.unpersist, leaking storage a long-lived session can't
+        // reclaim. An evicted block just recomputes through the wrapper
+        // chain — slow, never wrong.
+        val nextP = next.persist()
         val s = labelSum(nextP)
         converged = s.compareTo(prevSum) == 0
         prevSum = s
@@ -102,6 +109,7 @@ object ConnectedComponents {
         // now so peak cache stays at 2 label copies, not diameter+1
         labels.unpersist(blocking = false)
         labels = nextP
+        wrapped = spark.createDataFrame(nextP.rdd, nextP.schema)
         rounds += 1
       }
       if (!converged) {
@@ -112,10 +120,8 @@ object ConnectedComponents {
             "2^(maxRounds - hashMinBudget) diameter bound")
       }
       // hand the (materialized) result to the caller's release scope;
-      // from here on it is a normal query intermediate. NB the result is
-      // lineage-truncated: consume it BEFORE releasing the session's
-      // caches (all engine call sites do) — a released checkpoint cannot
-      // recompute.
+      // from here on it is a normal query intermediate — released, it
+      // recomputes through the wrapper chain like any unpersisted plan
       graft.analytics.SessionCaches.adopt(labels)
       CCResult(labels, rounds)
     } finally edges.unpersist(blocking = false)

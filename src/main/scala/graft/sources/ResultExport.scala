@@ -16,8 +16,22 @@ import org.apache.spark.sql.types._
   * CSV cannot carry nested/binary values, so [[csvSafe]] serializes
   * array/map/struct columns to JSON strings and binary to base64 —
   * lossless and re-parseable — rather than failing the export.
+  *
+  * CSV null contract: nulls are written as the `\N` sentinel
+  * ([[CsvNullValue]]) so empty strings survive (Spark's default reads
+  * unquoted empty AND quoted "" both as null). Re-read with
+  *   .option("nullValue", ResultExport.CsvNullValue)
+  *   .option("multiLine", "true")   // quoted embedded newlines
+  * and `from_json`/`unbase64` on the flattened columns. The round-trip
+  * is property-pinned in ResultExportRoundTripSpec; the format's one
+  * irreducible caveat: a top-level STRING value that is exactly the
+  * two-character sentinel reads back as null (use JSON/parquet when
+  * that matters).
   */
 object ResultExport {
+
+  /** CSV null sentinel (the conventional `\N`). */
+  val CsvNullValue: String = "\\N"
 
   final case class Entry(name: String, rows: Long,
                          columns: Seq[String], formats: Seq[String])
@@ -48,7 +62,13 @@ object ResultExport {
           out.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name")
         case "csv" =>
           csvSafe(out).write.mode(SaveMode.Overwrite)
-            .option("header", "true").csv(s"$outDir/$name.csv")
+            .option("header", "true")
+            .option("nullValue", CsvNullValue)
+            // Spark's csv WRITER trims cell whitespace by default —
+            // lossy for strings with leading/trailing blanks
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+            .csv(s"$outDir/$name.csv")
         case "json" =>
           out.write.mode(SaveMode.Overwrite).json(s"$outDir/$name.json")
         case f => throw new IllegalArgumentException(s"unknown export format: $f")
