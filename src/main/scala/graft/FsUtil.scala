@@ -6,6 +6,24 @@ import java.nio.file.{Files, Path, Paths}
   * delete the benches, scratch dirs and store GC all need).
   */
 object FsUtil {
+  /** Run `f` over a directory STREAM and close it. `Files.list`/`walk`
+    * hold an open directory fd until closed — call sites that leak the
+    * stream exhaust the process fd limit over long runs (the 10^4-epoch
+    * MetadataSoak died of EMFILE at ~epoch 1000 through writeBuckets'
+    * per-epoch walk).
+    */
+  def listDir[T](dir: Path)(f: Iterator[Path] => T): T =
+    scala.util.Using.resource(Files.list(dir)) { st =>
+      import scala.jdk.CollectionConverters._
+      f(st.iterator().asScala)
+    }
+
+  def walkDir[T](dir: Path)(f: Iterator[Path] => T): T =
+    scala.util.Using.resource(Files.walk(dir)) { st =>
+      import scala.jdk.CollectionConverters._
+      f(st.iterator().asScala)
+    }
+
   /** Delete `dir` and everything under it; missing paths are a no-op. */
   def deleteTree(dir: Path): Unit =
     if (Files.exists(dir))

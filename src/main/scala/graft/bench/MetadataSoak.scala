@@ -53,12 +53,11 @@ object MetadataSoak {
     LakeTable.create(dir, numBuckets = 8)
 
     def dirStats(): (Long, Long, Long) = {
-      import scala.jdk.CollectionConverters._
-      val metaFiles = java.nio.file.Files.list(
-        java.nio.file.Paths.get(dir, "meta")).iterator().asScala.size.toLong
-      val dataFiles = java.nio.file.Files.walk(
-        java.nio.file.Paths.get(dir, "data")).iterator().asScala
-        .count(p => java.nio.file.Files.isRegularFile(p)).toLong
+      val metaFiles = graft.FsUtil.listDir(
+        java.nio.file.Paths.get(dir, "meta"))(_.size.toLong)
+      val dataFiles = graft.FsUtil.walkDir(
+        java.nio.file.Paths.get(dir, "data"))(
+        _.count(p => java.nio.file.Files.isRegularFile(p)).toLong)
       val cur = LakeTable.load(dir)
       val mfBytes = java.nio.file.Files.size(
         java.nio.file.Paths.get(dir, "meta", s"v${cur.snapshotId}.json"))

@@ -72,9 +72,7 @@ object ScalingBench {
       System.err.println(f"[scaling] trial $t: $sec%.2f s")
       // each trial leaves a full ingested table on RAM-backed tmpfs —
       // delete it before the next trial or large-n runs exhaust /dev/shm
-      java.nio.file.Files.walk(base)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      graft.FsUtil.deleteTree(base)
       sec
     }
     val best = times.min

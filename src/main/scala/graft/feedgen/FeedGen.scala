@@ -177,15 +177,14 @@ object FeedGen {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     Files.createDirectories(Paths.get(wal))
-    val parts = Files.list(Paths.get(tmp)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(s".$format")).toList.sortBy(_.toString)
+    val parts = graft.FsUtil.listDir(Paths.get(tmp))(
+      _.filter(_.getFileName.toString.endsWith(s".$format")).toList).sortBy(_.toString)
     val moved = parts.zipWithIndex.map { case (p, i) =>
       val dst = Paths.get(wal, f"seg_${tag}_$i%05d.$format")
       Files.move(p, dst, StandardCopyOption.ATOMIC_MOVE)
       dst.toString
     }
-    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => Files.deleteIfExists(f))
+    graft.FsUtil.deleteTree(Paths.get(tmp))
     moved
   }
 

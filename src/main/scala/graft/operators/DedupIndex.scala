@@ -4,7 +4,6 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.analytics.DedupQueries
-import scala.jdk.CollectionConverters._
 
 /** Incremental near-dup INDEX maintenance: a persisted MinHash
   * signature table, appended per ingest epoch, that each ARRIVING epoch
@@ -57,11 +56,11 @@ object DedupIndex {
   def committedEpochs(dir: String): Seq[Long] = {
     val root = sigsRoot(dir)
     if (!Files.exists(root)) Nil
-    else Files.list(root).iterator().asScala
+    else graft.FsUtil.listDir(root)(_
       .map(_.getFileName.toString)
       .filter(_.startsWith("epoch="))
       .map(_.stripPrefix("epoch=").toLong)
-      .toSeq.sorted
+      .toSeq).sorted
   }
 
   /** Compute `docs`' signatures (doc_id, text → mh_0..mh_31) and commit

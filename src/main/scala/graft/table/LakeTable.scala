@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
 import graft.model.CdcSchema
-import scala.jdk.CollectionConverters._
 
 /** One parquet data file tracked by a snapshot, with pruning stats
   * (Iceberg-v2-style manifest entry; reference analog: the SQLite file +
@@ -353,7 +352,7 @@ object LakeTable {
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5) * 1000L, r.getLong(6) * 1000L)).toMap
     val base = Paths.get(out)
-    Files.walk(base).iterator().asScala
+    graft.FsUtil.walkDir(base)(_
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .map { p =>
         val relPath = Paths.get(dir).relativize(p).toString
@@ -361,6 +360,6 @@ object LakeTable {
         val (n, live, mnS, mxS, mnT, mxT) =
           stats.getOrElse(bucket, (0L, 0L, 0L, 0L, 0L, 0L))
         FileEntry(relPath, bucket, n, live, n - live, mnS, mxS, mnT, mxT, kind)
-      }.toList
+      }.toList)
   }
 }

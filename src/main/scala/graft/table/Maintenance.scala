@@ -3,7 +3,6 @@ package graft.table
 import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import scala.jdk.CollectionConverters._
 
 /** Table maintenance: orphan-file vacuum and copy-on-write compaction.
   *
@@ -39,7 +38,7 @@ object Maintenance {
         p.resolveSibling(n.stripPrefix(".").stripSuffix(".crc"))
       else p
     }
-    Files.walk(dataRoot).iterator().asScala
+    graft.FsUtil.walkDir(dataRoot)(_
       .filter(p => Files.isRegularFile(p))
       .filter { p =>
         val n = dataTwin(p).getFileName.toString
@@ -47,13 +46,12 @@ object Maintenance {
       }
       .filter(p => !referenced.contains(dataTwin(p).toAbsolutePath.normalize))
       .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-      .foreach { p => Files.deleteIfExists(p); deleted += 1 }
-    // drop now-empty snapshot directories
-    Files.walk(dataRoot).sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala
+      .foreach { p => Files.deleteIfExists(p); deleted += 1 })
+    // drop now-empty snapshot directories (deepest-first)
+    graft.FsUtil.walkDir(dataRoot)(_.toSeq).sortBy(-_.getNameCount)
       .filter(p => Files.isDirectory(p) && p != dataRoot)
       .foreach { p =>
-        if (!Files.list(p).iterator().hasNext) Files.deleteIfExists(p)
+        if (graft.FsUtil.listDir(p)(!_.hasNext)) Files.deleteIfExists(p)
       }
     deleted
   }
@@ -80,7 +78,7 @@ object Maintenance {
     val cur = LakeTable.load(dir).snapshotId
     val metaDir = Paths.get(dir, "meta")
     var deleted = 0
-    Files.list(metaDir).iterator().asScala
+    graft.FsUtil.listDir(metaDir)(_
       .filter { p =>
         val n = p.getFileName.toString
         n.startsWith("v") && n.endsWith(".json")
@@ -89,7 +87,7 @@ object Maintenance {
         val id = p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong
         id <= cur - keepLast
       }
-      .foreach { p => Files.deleteIfExists(p); deleted += 1 }
+      .foreach { p => Files.deleteIfExists(p); deleted += 1 })
     deleted
   }
 
