@@ -108,8 +108,13 @@ object DedupIndex {
       if (prior.isEmpty) within
       else {
         val oldB = DedupQueries.sigBuckets(readSigs(spark, dir, prior))
+        // the doc_id inequality matters on the streaming path: the same
+        // document RE-SIGNED in a later epoch (an updated url) collides
+        // with its own older signature on every band and must not
+        // self-pair
         val cross = newB.as("x").join(oldB.as("y"),
-            col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt"))
+            col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+              col("x.doc_id") =!= col("y.doc_id"))
           .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
             greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
         within.unionByName(cross)

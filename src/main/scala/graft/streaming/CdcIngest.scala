@@ -37,9 +37,20 @@ object CdcIngest {
     *
     * `statsDir`, when set, maintains the per-domain stats dimension
     * ([[DomainStatsRollup]] — the reference's per-batch
-    * `_update_user_stats` analog) from the same epoch. Both sinks are
-    * independently epoch-idempotent, so a crash between them replays
-    * only the one that missed.
+    * `_update_user_stats` analog) from the same epoch.
+    *
+    * `dedupIndexDir`, when set, maintains the near-dup SIGNATURE INDEX
+    * ([[graft.operators.DedupIndex]]) from the same epoch: the epoch's
+    * per-url LWW winner texts are MinHash-signed (doc key =
+    * xxhash64(url)) and appended under the stream's epochId, so each
+    * arriving epoch can be deduped against the whole history without
+    * ever re-shingling the corpus — the watermark-incremental posture
+    * applied to dedup. An updated url re-signs under a new epoch; its
+    * older signature stays (near-dup-of-prior-version pairs are real
+    * near-dups) until index compaction.
+    *
+    * All sinks are independently epoch-idempotent, so a crash between
+    * them replays only the one(s) that missed.
     */
   def start(spark: SparkSession, feedDir: String, tableDir: String,
             checkpointDir: String, numBuckets: Int = 32,
@@ -48,7 +59,8 @@ object CdcIngest {
             mode: MergeInto.MergeMode = MergeInto.Auto,
             transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity,
             statsDir: Option[String] = None,
-            feedFormat: String = "parquet"): StreamingQuery = {
+            feedFormat: String = "parquet",
+            dedupIndexDir: Option[String] = None): StreamingQuery = {
     // WAL archive format: parquet (default) or JSONL segments — binary
     // html rides base64 through JSON and round-trips byte-identically
     // (TailModeSpec). Anything else (csv, text) cannot carry the binary
@@ -71,6 +83,15 @@ object CdcIngest {
         MergeInto.merge(batch.sparkSession, tableDir, b, epochId, mode)
         statsDir.foreach(sd =>
           DomainStatsRollup.upsert(batch.sparkSession, sd, b, epochId))
+        dedupIndexDir.foreach { ix =>
+          import org.apache.spark.sql.functions.{col, xxhash64}
+          val winners = graft.operators.LwwCollapse
+            .collapse(MergeInto.alignToLatest(b))
+            .filter(col("op") =!= "D" && col("text").isNotNull)
+            .select(xxhash64(col("url")).as("doc_id"), col("text"))
+          graft.operators.DedupIndex.appendEpoch(
+            batch.sparkSession, ix, epochId, winners)
+        }
         ()
       }
       .start()

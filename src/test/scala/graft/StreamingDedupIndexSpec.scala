@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.feedgen.FeedGen
+import graft.model.CdcSchema
+import graft.operators.DedupIndex
+import graft.streaming.CdcIngest
+
+/** The ingest-sink-maintained near-dup signature index: streaming
+  * epochs through `CdcIngest.start(dedupIndexDir=...)` must leave an
+  * index whose cumulative epoch pairs equal the batch MinHash+LSH op
+  * over the same corpus, and checkpoint replays must not double-sign.
+  */
+class StreamingDedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ~50 docs in 5 near-dup families: family texts share a long base
+  // sentence with a one-word mutation per member — Jaccard high enough
+  // that LSH banding fires within families
+  private def eventsDf(n: Int) = {
+    val base = (f: Int) => s"family $f shares this rather long base " +
+      s"sentence about topic $f with enough words that five gram " +
+      "shingles overlap heavily across members of the same family " +
+      "and not at all across different families"
+    (0 until n).map { i =>
+      val fam = i % 5
+      val text = base(fam) + s" member token$i"
+      (i.toLong, "U", s"https://ex.org/f$fam/d$i",
+        new java.sql.Timestamp(1700000000000L + i * 1000L),
+        null: Array[Byte], text, "en", null.asInstanceOf[java.lang.Double])
+    }.toDF(CdcSchema.latest.fieldNames: _*)
+  }
+
+  private def docsOf(df: org.apache.spark.sql.DataFrame) =
+    df.select(xxhash64(col("url")).as("doc_id"), col("text"))
+
+  test("stream-maintained index == batch MinHash+LSH over the cumulative corpus") {
+    val base = tmpDir("sdix")
+    val events = eventsDf(50)
+    // two WAL segments → two epochs (maxFilesPerTrigger = 1)
+    FeedGen.appendSegment(spark, s"$base/feed",
+      events.filter(col("seq") < 25), "s0")
+    FeedGen.appendSegment(spark, s"$base/feed",
+      events.filter(col("seq") >= 25), "s1")
+    val q = CdcIngest.start(spark, s"$base/feed", s"$base/table",
+      s"$base/ckpt", numBuckets = 4, maxFilesPerTrigger = Some(1),
+      dedupIndexDir = Some(s"$base/ix"))
+    q.awaitTermination()
+
+    val epochs = DedupIndex.committedEpochs(s"$base/ix")
+    assert(epochs.size >= 2, s"expected >=2 index epochs, got $epochs")
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    val incremental = epochs
+      .map(e => DedupIndex.epochPairs(spark, s"$base/ix", e))
+      .reduce(_ unionByName _)
+    val batch = graft.analytics.DedupQueries.minhashLshPairs(docsOf(events))
+    val (inc, full) = (pairSet(incremental), pairSet(batch))
+    assert(full.nonEmpty, "corpus must contain near-dup families")
+    assert(inc === full)
+    graft.analytics.SessionCaches.release(spark)
+
+    // checkpoint replay with nothing new: no new index epochs, same sigs
+    val sigCount = DedupIndex.readSigs(spark, s"$base/ix", epochs).count()
+    CdcIngest.runAvailableNow(spark, s"$base/feed", s"$base/table",
+      s"$base/ckpt", numBuckets = 4, maxFilesPerTrigger = Some(1))
+    assert(DedupIndex.committedEpochs(s"$base/ix") === epochs)
+    assert(DedupIndex.readSigs(spark, s"$base/ix", epochs).count() === sigCount)
+  }
+
+  test("an updated url re-signs without self-pairing") {
+    val base = tmpDir("sdix-upd")
+    val dir = s"$base/ix"
+    val v1 = Seq((1L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    DedupIndex.foldEpoch(spark, dir, 0L, v1).count()
+    // same doc key, slightly changed text, later epoch
+    val v2 = Seq((1L, "one two three four five six seven eight nine eleven"))
+      .toDF("doc_id", "text")
+    val pairs = DedupIndex.foldEpoch(spark, dir, 1L, v2).collect()
+    assert(pairs.forall(r => r.getLong(0) != r.getLong(1)),
+      "re-signed doc must not pair with itself")
+  }
+}
