@@ -22,7 +22,7 @@ object DedupQueries {
     * ~30-byte strings), MinHash needs no dedup at all (min over a
     * multiset == min over the set), saving that shuffle entirely.
     */
-  private def shingles(docs: DataFrame): DataFrame = {
+  private[graft] def shingles(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
     // guard: Spark's sequence(1, n) turns DESCENDING for n < 1 — a short
     // doc must yield zero shingles, not garbage (DuckDB range() is empty)
@@ -319,6 +319,22 @@ object DedupQueries {
       val p1 = graft.operators.DedupIndex.foldEpoch(s, dir, 1L,
         docs.filter(pmod(col("doc_id"), lit(2)) === 1))
       p0.unionByName(p1)
+    }),
+
+    // Incremental candidates + EXACT-Jaccard verify: the two-epoch fold
+    // again, but each epoch's index candidates are verified by shingling
+    // ONLY the candidate documents (pairs-bounded text work). Union over
+    // epochs == exact Jaccard over the full LSH candidate set.
+    "dd09_incremental_verified" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-dd09-index").toString
+      val docs = documents(s, d)
+      Seq(0, 1).map { e =>
+        graft.operators.DedupIndex.appendEpoch(s, dir, e.toLong,
+          docs.filter(pmod(col("doc_id"), lit(2)) === e))
+        graft.operators.DedupIndex.verifiedEpochPairs(s, dir, e.toLong,
+          docs, threshold = 0.8)
+      }.reduce(_ unionByName _)
     })
   )
 
@@ -352,36 +368,65 @@ object DedupQueries {
     * the dd08 oracle: the incremental fold must reproduce this exact
     * pair set.
     */
-  private lazy val minhashLshOracleSql: String = {
+  /** DuckDB CTE chain ending in `cand(doc_a, doc_b)` — the LSH
+    * candidate pairs (signatures, band-OR) shared by the dd04/dd08/dd09
+    * oracles, plus `sh(doc_id, shingle)`, the distinct shingle sets.
+    */
+  private lazy val minhashCandSqlCtes: String = {
     val minCols = (0 until MinhashK)
-        .map(i => s"min(${Hashing.uhSql(i, "h")}) AS mh_$i").mkString(",\n |  ")
-      val bandOr = (0 until Bands).map { b =>
-        "(" + (b * RowsPerBand until (b + 1) * RowsPerBand)
-          .map(i => s"a.mh_$i = b.mh_$i").mkString(" AND ") + ")"
-      }.mkString("\n |   OR ")
-      val matchSum = (0 until MinhashK)
-        .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH sh AS (
-         | SELECT DISTINCT doc_id, shingle FROM (
-         |  SELECT doc_id, unnest(list_transform(
-         |    range(1, len(string_split(text,' ')) - 3),
-         |    i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS shingle
-         |  FROM documents)),
-         |hh AS (SELECT doc_id, ${Hashing.h31Sql("shingle")} AS h FROM sh),
-         |sig AS (SELECT doc_id,
-         |  $minCols
-         | FROM hh GROUP BY 1),
-         |cand AS (
-         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         | FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
-         |   $bandOr))
-         |SELECT c.doc_a, c.doc_b,
-         | round(($matchSum) / 32.0, 4) AS est_jaccard
-         |FROM cand c
-         |JOIN sig a ON a.doc_id = c.doc_a
-         |JOIN sig b ON b.doc_id = c.doc_b""".stripMargin
+      .map(i => s"min(${Hashing.uhSql(i, "h")}) AS mh_$i").mkString(",\n |  ")
+    val bandOr = (0 until Bands).map { b =>
+      "(" + (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => s"a.mh_$i = b.mh_$i").mkString(" AND ") + ")"
+    }.mkString("\n |   OR ")
+    s"""sh AS (
+       | SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, len(string_split(text,' ')) - 3),
+       |    i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS shingle
+       |  FROM documents)),
+       |hh AS (SELECT doc_id, ${Hashing.h31Sql("shingle")} AS h FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $minCols
+       | FROM hh GROUP BY 1),
+       |cand AS (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+       |   $bandOr))""".stripMargin
   }
+
+  private lazy val minhashLshOracleSql: String = {
+    val matchSum = (0 until MinhashK)
+      .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $minhashCandSqlCtes
+       |SELECT c.doc_a, c.doc_b,
+       | round(($matchSum) / 32.0, 4) AS est_jaccard
+       |FROM cand c
+       |JOIN sig a ON a.doc_id = c.doc_a
+       |JOIN sig b ON b.doc_id = c.doc_b""".stripMargin
+  }
+
+  /** dd09 oracle: exact (uncapped) Jaccard over the LSH candidate set —
+    * the verified-incremental twin. Same string-shingle vs hashed-
+    * shingle dedup note as dd03 (2^-64).
+    */
+  private def verifiedCandOracleSql(threshold: Double): String =
+    s"""WITH $minhashCandSqlCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |shared AS (
+       | SELECT c.doc_a, c.doc_b, count(*) AS shared
+       | FROM cand c
+       | JOIN sh a ON a.doc_id = c.doc_a
+       | JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       | GROUP BY 1, 2)
+       |SELECT s.doc_a, s.doc_b,
+       | round(s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared), 4) AS jaccard
+       |FROM shared s
+       |JOIN sizes sa ON sa.doc_id = s.doc_a
+       |JOIN sizes sb ON sb.doc_id = s.doc_b
+       |WHERE round(s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared), 4)
+       |  >= $threshold""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dd01_exact_summary" ->
@@ -400,6 +445,7 @@ object DedupQueries {
     // the incremental fold must produce EXACTLY the from-scratch pair
     // set — same oracle as dd04
     "dd08_incremental_neardup" -> minhashLshOracleSql,
+    "dd09_incremental_verified" -> verifiedCandOracleSql(0.8),
     "dd05_simhash" -> {
       val bitCols = (0 until SimBits)
         .map(j => s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b_$j")

@@ -144,4 +144,50 @@ object DedupIndex {
     appendEpoch(spark, dir, epochId, docs)
     epochPairs(spark, dir, epochId)
   }
+
+  /** EXACT-Jaccard verification of this epoch's index candidates:
+    * [[epochPairs]] supplies the candidate set, and only the CANDIDATE
+    * documents are shingled — shingling cost is pairs-bounded, never
+    * corpus-bounded (the est-only gap of the signature path, closed).
+    * `corpus` must carry (doc_id, text) for every doc the index has
+    * seen; its scan is column-pruned and filtered by a broadcast join
+    * on the pairs-bounded id set — one IO pass, zero re-shingling of
+    * non-candidates. (On a lake table, candidate fetch additionally
+    * prunes at the bucket level; against raw parquet it is a pruned
+    * scan.) Exact Jaccard here is UNCAPPED (no corpus-wide doc-freq
+    * valve — that is a batch-pass concept); the LSH banding already
+    * bounds candidate fan-out.
+    */
+  def verifiedEpochPairs(spark: SparkSession, dir: String, epochId: Long,
+                         corpus: DataFrame, threshold: Double): DataFrame = {
+    val cand = epochPairs(spark, dir, epochId)
+      .select(col("doc_a"), col("doc_b"))
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val candDocs = corpus.select(col("doc_id"), col("text"))
+      .join(broadcast(ids), Seq("doc_id"))
+    // hashed-shingle dedup — same 2^-64 tradeoff note as
+    // DedupQueries.ngramJaccardPairs
+    val sh = DedupQueries.shingles(candDocs)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val shared = cand
+      .join(shA, Seq("doc_a"))
+      .join(shB, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard", round(col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
 }

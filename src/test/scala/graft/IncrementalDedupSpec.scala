@@ -67,6 +67,36 @@ class IncrementalDedupSpec extends SparkSpec {
     graft.analytics.SessionCaches.release(spark)
   }
 
+  test("verified epoch pairs equal exact Jaccard over the batch candidate set") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("dd09-verify")
+    val verified = Seq(0, 1).map { e =>
+      DedupIndex.appendEpoch(spark, dir, e.toLong,
+        docs.filter(pmod(col("doc_id"), lit(2)) === e))
+      DedupIndex.verifiedEpochPairs(spark, dir, e.toLong, docs, 0.5)
+    }.reduce(_ unionByName _)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // reference: exact Jaccard from collected shingle sets, restricted
+    // to the batch LSH candidate pairs
+    val shingleSets = DedupQueries.shingles(docs)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
+    val cands = batchPairs.select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = cands.flatMap { case (a, b) =>
+      val (sa, sb) = (shingleSets(a), shingleSets(b))
+      val shared = (sa intersect sb).size
+      val j = BigDecimal(shared.toDouble / (sa.size + sb.size - shared))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (j >= 0.5) Some((a, b, j)) else None
+    }.toSet
+    assert(expected.nonEmpty)
+    assert(verified === expected)
+    graft.analytics.SessionCaches.release(spark)
+  }
+
   test("epoch signature work is epoch-sized: epoch 1 fold reads index sigs, not corpus text") {
     val dir = tmpDir("dd08-shape")
     DedupIndex.foldEpoch(spark, dir, 0L,
