@@ -20,11 +20,17 @@ import graft.analytics.DedupQueries
   * /root/reference/convoetl/loaders/sqlite.py:205-236) applied to the
   * dedup family.
   *
-  * Layout under `indexDir`:
-  *   sigs/epoch=N/part-....parquet — (doc_id, mh_0..mh_31) per epoch, written
-  *     to a temp dir then ATOMIC_MOVE-renamed: a crashed append leaves
-  *     only an invisible temp, and a redelivered epoch is a no-op
-  *     (same exactly-once posture as LakeTable.commit).
+  * Layout under `indexDir` — the same snapshot-commit discipline as
+  * LakeTable, because at ingest cadence the index IS a table:
+  *   meta/vN.json + meta/CURRENT   — manifest of committed entries,
+  *     swapped atomically; a crashed append leaves only an orphan sig
+  *     dir the retry overwrites, and a redelivered epoch is a no-op.
+  *   sigs/epoch=N | sigs/compact-A-B — (doc_id, mh_0..mh_31) parquet;
+  *     one dir per epoch until [[compact]] folds contiguous epochs into
+  *     one range entry (10^4 ingest epochs must not mean 10^4 dirs —
+  *     the same metadata-growth bound the lake table enforces);
+  *     [[vacuum]] reclaims superseded dirs after a grace period so
+  *     pinned-path readers of the pre-compaction layout finish clean.
   *
   * Equivalence: signatures are per-doc and epoch-independent, and both
   * the batch op and this index generate candidates from the SAME band
@@ -47,46 +53,142 @@ import graft.analytics.DedupQueries
   * layout upgrade is documented rather than wired.
   */
 object DedupIndex {
+  import org.json4s.{DefaultFormats, Formats}
+  import org.json4s.jackson.Serialization
+  implicit private val fmts: Formats = DefaultFormats
+
+  /** One committed signature parquet dir covering epochs
+    * [minEpoch, maxEpoch] (a single epoch until compaction folds a
+    * contiguous run into one entry).
+    */
+  final case class IndexEntry(minEpoch: Long, maxEpoch: Long, path: String)
+  final case class IndexManifest(version: Long, entries: List[IndexEntry]) {
+    def epochs: Seq[Long] =
+      entries.flatMap(e => e.minEpoch to e.maxEpoch).sorted
+    def isCommitted(epochId: Long): Boolean =
+      entries.exists(e => epochId >= e.minEpoch && epochId <= e.maxEpoch)
+  }
 
   private def sigsRoot(dir: String): Path = Paths.get(dir, "sigs")
-  private def epochPath(dir: String, epochId: Long): Path =
-    sigsRoot(dir).resolve(s"epoch=$epochId")
+  private def metaDir(dir: String): Path = Paths.get(dir, "meta")
+  private def currentPtr(dir: String): Path = metaDir(dir).resolve("CURRENT")
+
+  def loadManifest(dir: String): IndexManifest =
+    if (!Files.exists(currentPtr(dir))) IndexManifest(0L, Nil)
+    else {
+      val v = Files.readString(currentPtr(dir)).trim
+      Serialization.read[IndexManifest](
+        Files.readString(metaDir(dir).resolve(s"$v.json")))
+    }
+
+  /** Write manifest vN then atomically swap CURRENT — the LakeTable
+    * commit protocol (single-writer ingest posture; `expectVersion`
+    * catches a concurrent committer).
+    */
+  private def commitManifest(dir: String, m: IndexManifest,
+                             expectVersion: Long): Unit = {
+    val cur = loadManifest(dir)
+    require(cur.version == expectVersion,
+      s"concurrent index commit: CURRENT=v${cur.version}, expected v$expectVersion")
+    Files.createDirectories(metaDir(dir))
+    Files.writeString(metaDir(dir).resolve(s"v${m.version}.json"),
+      Serialization.write(m))
+    val tmp = metaDir(dir).resolve(s".CURRENT.tmp.${m.version}")
+    Files.writeString(tmp, s"v${m.version}")
+    Files.move(tmp, currentPtr(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Epoch ids present in the index, ascending. */
-  def committedEpochs(dir: String): Seq[Long] = {
-    val root = sigsRoot(dir)
-    if (!Files.exists(root)) Nil
-    else graft.FsUtil.listDir(root)(_
-      .map(_.getFileName.toString)
-      .filter(_.startsWith("epoch="))
-      .map(_.stripPrefix("epoch=").toLong)
-      .toSeq).sorted
-  }
+  def committedEpochs(dir: String): Seq[Long] = loadManifest(dir).epochs
 
   /** Compute `docs`' signatures (doc_id, text → mh_0..mh_31) and commit
     * them as `epochId`. Idempotent: a redelivered epoch returns false
     * and writes nothing — the retry contract of an at-least-once feed.
+    * A sig dir left by a CRASHED attempt (written but never committed)
+    * is overwritten by the retry — only the manifest defines existence.
     */
   def appendEpoch(spark: SparkSession, dir: String, epochId: Long,
                   docs: DataFrame): Boolean = {
-    val dst = epochPath(dir, epochId)
-    if (Files.exists(dst)) return false
+    val m = loadManifest(dir)
+    if (m.isCommitted(epochId)) return false
+    val rel = s"sigs/epoch=$epochId"
+    val dst = Paths.get(dir, rel)
     Files.createDirectories(sigsRoot(dir))
     val tmp = sigsRoot(dir).resolve(s".tmp-epoch-$epochId")
     DedupQueries.minhashSignatures(docs)
       .write.mode("overwrite").parquet(tmp.toString)
+    graft.FsUtil.deleteTree(dst) // crashed-attempt orphan, if any
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    commitManifest(dir, IndexManifest(m.version + 1,
+      m.entries :+ IndexEntry(epochId, epochId, rel)), m.version)
     true
   }
 
-  /** Read the signatures of exactly `epochs` — paths PINNED at plan
-    * time, so a later append can never leak into an earlier epoch's
-    * lazy plan.
+  /** Read the signatures of exactly `epochs` — entry paths resolved NOW
+    * and PINNED into the plan, so a later append (or compaction) can
+    * never leak into an earlier epoch's lazy plan. The requested set
+    * must be exactly a union of committed entries (compaction folds
+    * contiguous history, so "one fresh epoch" and "all strictly-older
+    * epochs" — the two shapes this engine asks for — always resolve).
     */
   def readSigs(spark: SparkSession, dir: String,
                epochs: Seq[Long]): DataFrame = {
     require(epochs.nonEmpty, "readSigs of no epochs")
-    spark.read.parquet(epochs.map(e => epochPath(dir, e).toString): _*)
+    val want = epochs.toSet
+    val m = loadManifest(dir)
+    val sel = m.entries.filter(e => (e.minEpoch to e.maxEpoch).forall(want))
+    val covered = sel.flatMap(e => e.minEpoch to e.maxEpoch).toSet
+    require(covered == want,
+      s"epochs ${want -- covered} not resolvable from committed entries " +
+        s"${m.entries} (partial reads of a compacted range are not a thing)")
+    spark.read.parquet(sel.map(e => s"$dir/${e.path}"): _*)
+  }
+
+  /** Fold the whole committed history into ONE range entry (one merged
+    * parquet dir): 10^4 ingest epochs must not mean 10^4 dirs to list
+    * and open per fold. Requires the committed epoch set to be gap-free
+    * (streaming epochs are; refuses loudly otherwise rather than
+    * claiming uncommitted ids). Superseded dirs stay on disk for
+    * in-flight pinned-path readers until [[vacuum]]. Returns true if a
+    * compaction happened.
+    */
+  def compact(spark: SparkSession, dir: String): Boolean = {
+    val m = loadManifest(dir)
+    if (m.entries.size <= 1) return false
+    val ids = m.epochs
+    require(ids == (ids.min to ids.max),
+      s"compact needs a gap-free epoch range, got $ids")
+    val rel = s"sigs/compact-${ids.min}-${ids.max}"
+    val tmp = sigsRoot(dir).resolve(s".tmp-compact-${m.version + 1}")
+    spark.read.parquet(m.entries.map(e => s"$dir/${e.path}"): _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val dst = Paths.get(dir, rel)
+    graft.FsUtil.deleteTree(dst)
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    commitManifest(dir, IndexManifest(m.version + 1,
+      List(IndexEntry(ids.min, ids.max, rel))), m.version)
+    true
+  }
+
+  /** Delete sig dirs not referenced by the CURRENT manifest and older
+    * than `graceMs` (protects pinned-path plans still running over the
+    * pre-compaction layout, and in-flight appends). Returns dirs
+    * deleted.
+    */
+  def vacuum(dir: String, graceMs: Long = 3600000L): Int = {
+    if (!Files.exists(sigsRoot(dir))) return 0
+    val referenced = loadManifest(dir).entries
+      .map(e => Paths.get(dir, e.path).toAbsolutePath.normalize).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    var deleted = 0
+    graft.FsUtil.listDir(sigsRoot(dir))(_
+      .filter(p => Files.isDirectory(p))
+      .filter(p => !referenced.contains(p.toAbsolutePath.normalize))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .toList)
+      .foreach { p => graft.FsUtil.deleteTree(p); deleted += 1 }
+    deleted
   }
 
   /** Near-dup candidate pairs of epoch `epochId` against itself AND the

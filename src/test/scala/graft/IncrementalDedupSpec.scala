@@ -44,6 +44,40 @@ class IncrementalDedupSpec extends SparkSpec {
     graft.analytics.SessionCaches.release(spark)
   }
 
+  test("index compaction folds contiguous epochs; folds continue correctly; vacuum reclaims") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("dd08-compact")
+    val parts = (0 to 2).map(e => docs.filter(pmod(col("doc_id"), lit(3)) === e))
+    val p01 = Seq(0, 1).map(e =>
+      DedupIndex.foldEpoch(spark, dir, e.toLong, parts(e)))
+      .reduce(_ unionByName _).persist()
+    p01.count()
+    assert(DedupIndex.compact(spark, dir))
+    assert(!DedupIndex.compact(spark, dir), "single entry: nothing to compact")
+    assert(DedupIndex.committedEpochs(dir) === Seq(0L, 1L))
+    // redelivery across the compaction boundary is still a no-op
+    assert(!DedupIndex.appendEpoch(spark, dir, 1L, parts(1)))
+    // the next epoch folds against the COMPACTED history
+    val p2 = DedupIndex.foldEpoch(spark, dir, 2L, parts(2))
+    val inc = pairSet(p01.unionByName(p2))
+    assert(inc === pairSet(batchPairs))
+    p01.unpersist()
+    // vacuum with zero grace reclaims the superseded per-epoch dirs
+    assert(DedupIndex.vacuum(dir, graceMs = 0L) === 2)
+    assert(DedupIndex.vacuum(dir, graceMs = 0L) === 0)
+    // and the index still reads after reclamation
+    assert(DedupIndex.epochPairs(spark, dir, 2L).count() === p2.count())
+    graft.analytics.SessionCaches.release(spark)
+  }
+
+  test("compaction refuses a gap-filled epoch range") {
+    val dir = tmpDir("dd08-gap")
+    DedupIndex.appendEpoch(spark, dir, 0L, docs.limit(5))
+    DedupIndex.appendEpoch(spark, dir, 5L, docs.limit(5))
+    val e = intercept[IllegalArgumentException] { DedupIndex.compact(spark, dir) }
+    assert(e.getMessage.contains("gap-free"))
+  }
+
   test("redelivered epoch append is a no-op") {
     val dir = tmpDir("dd08-redeliver")
     assert(DedupIndex.appendEpoch(spark, dir, 0L, docs))
