@@ -171,6 +171,22 @@ object DedupIndex {
     true
   }
 
+  /** Threshold-driven upkeep for a sink-maintained index (the
+    * [[graft.table.Maintenance.autoMaintain]] analog): compact once the
+    * manifest carries more than `maxEntries` (and the range is
+    * gap-free), then vacuum superseded dirs past `vacuumGraceMs`.
+    * Bounds both the dir count an epoch fold must open and the
+    * manifest's entry list, with no human in the loop.
+    */
+  def autoMaintain(spark: SparkSession, dir: String, maxEntries: Int = 16,
+                   vacuumGraceMs: Long = 3600000L): (Boolean, Int) = {
+    val m = loadManifest(dir)
+    val ids = m.epochs
+    val compacted = m.entries.size > maxEntries &&
+      ids == (ids.min to ids.max) && compact(spark, dir)
+    (compacted, vacuum(dir, vacuumGraceMs))
+  }
+
   /** Delete sig dirs not referenced by the CURRENT manifest and older
     * than `graceMs` (protects pinned-path plans still running over the
     * pre-compaction layout, and in-flight appends). Returns dirs

@@ -91,6 +91,9 @@ object CdcIngest {
             .select(xxhash64(col("url")).as("doc_id"), col("text"))
           graft.operators.DedupIndex.appendEpoch(
             batch.sparkSession, ix, epochId, winners)
+          // bound the index's own metadata as epochs accumulate —
+          // same posture as the table's autoMaintain
+          graft.operators.DedupIndex.autoMaintain(batch.sparkSession, ix)
         }
         ()
       }

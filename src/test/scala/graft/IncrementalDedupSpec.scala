@@ -70,6 +70,25 @@ class IncrementalDedupSpec extends SparkSpec {
     graft.analytics.SessionCaches.release(spark)
   }
 
+  test("autoMaintain bounds the entry count over many appended epochs") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("dd08-auto")
+    val one = docs.limit(2)
+    (0 until 20).foreach { e =>
+      DedupIndex.appendEpoch(spark, dir, e.toLong, one
+        .withColumn("doc_id", col("doc_id") + e * 1000))
+      DedupIndex.autoMaintain(spark, dir, maxEntries = 8, vacuumGraceMs = 0L)
+    }
+    val m = DedupIndex.loadManifest(dir)
+    assert(m.entries.size <= 9,
+      s"entries must stay bounded, got ${m.entries.size}")
+    assert(DedupIndex.committedEpochs(dir) === (0L until 20L))
+    // history remains foldable after repeated compaction+vacuum
+    assert(DedupIndex.foldEpoch(spark, dir, 20L, one
+      .withColumn("doc_id", col("doc_id") + 20000)).count() >= 0)
+    graft.analytics.SessionCaches.release(spark)
+  }
+
   test("compaction refuses a gap-filled epoch range") {
     val dir = tmpDir("dd08-gap")
     DedupIndex.appendEpoch(spark, dir, 0L, docs.limit(5))
