@@ -321,6 +321,29 @@ object DedupQueries {
       p0.unionByName(p1)
     }),
 
+    // Training-data op: EVAL-SET DECONTAMINATION — the n-gram overlap
+    // pass every training corpus runs against held-out benchmarks
+    // before training. Benchmark slice = doc_id % 20 == 0 (synthetic
+    // stand-in for an eval set); a training doc is contaminated if it
+    // shares >= 1 word-5-gram with any eval doc. Shape: the same
+    // hashed-shingle bucket join as the dedup family (8-byte keys, no
+    // cross join); the two countDistincts expand rows 2x — bounded by
+    // colliding (train, eval, shingle) triples, not corpus^2.
+    "dd10_decontamination" -> ((s, d) => {
+      val docs = documents(s, d)
+      val isEval = pmod(col("doc_id"), lit(20)) === 0
+      def sh(df: DataFrame) = shingles(df)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+        .distinct()
+      val train = sh(docs.filter(!isEval))
+      val eval_ = sh(docs.filter(isEval))
+        .withColumnRenamed("doc_id", "eval_id")
+      train.join(eval_, Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+          countDistinct(col("eval_id")).as("n_eval_docs"))
+    }),
+
     // Incremental candidates + EXACT-Jaccard verify: the two-epoch fold
     // again, but each epoch's index candidates are verified by shingling
     // ONLY the candidate documents (pairs-bounded text work). Union over
@@ -446,6 +469,20 @@ object DedupQueries {
     // set — same oracle as dd04
     "dd08_incremental_neardup" -> minhashLshOracleSql,
     "dd09_incremental_verified" -> verifiedCandOracleSql(0.8),
+    "dd10_decontamination" ->
+      """WITH sh AS (
+        | SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, len(string_split(text,' ')) - 3),
+        |    i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS shingle
+        |  FROM documents)),
+        |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 20 = 0)
+        |SELECT t.doc_id,
+        | count(DISTINCT t.shingle) AS n_shared_shingles,
+        | count(DISTINCT ev.eval_id) AS n_eval_docs
+        |FROM sh t JOIN ev ON ev.shingle = t.shingle
+        |WHERE t.doc_id % 20 <> 0
+        |GROUP BY 1""".stripMargin,
     "dd05_simhash" -> {
       val bitCols = (0 until SimBits)
         .map(j => s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b_$j")

