@@ -30,10 +30,19 @@ class KmeansIvfSpec extends SparkSpec {
       s"mean assignment cosine must rise: $cosBase -> $cosTrained")
   }
 
-  test("training is deterministic across runs") {
+  test("training is deterministic across runs and partitionings") {
     val a = SimilarityQueries.ivfAssign(spark, sf, 8).collect().toSet
     val b = SimilarityQueries.ivfAssign(spark, sf, 8).collect().toSet
     assert(a === b)
+    // integer-exact mean updates make the centroids independent of the
+    // physical partitioning (a plain double sum would not be): force a
+    // different layout via the shuffle-partitions knob mid-train
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val c = SimilarityQueries.ivfAssign(spark, sf, 8).collect().toSet
+      assert(c === a)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   test("ivf search over trained centroids still finds brute-force top-1 for most queries") {
