@@ -24,6 +24,21 @@ object FsUtil {
       f(st.iterator().asScala)
     }
 
+  private lazy val scratchRoot: Path = {
+    val r = Files.createTempDirectory("graft-scratch-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(r)))
+    r
+  }
+
+  /** A temp dir reclaimed at JVM exit — for query builders that
+    * materialize per-invocation scratch state (the dd08/dd09 index
+    * dirs) whose lazy consumers outlive the builder call: without the
+    * shared reclaimed root, every invocation leaks a directory into
+    * java.io.tmpdir for the life of the machine.
+    */
+  def scratchDir(prefix: String): String =
+    Files.createTempDirectory(scratchRoot, prefix).toString
+
   /** Delete `dir` and everything under it; missing paths are a no-op. */
   def deleteTree(dir: Path): Unit =
     if (Files.exists(dir))

@@ -238,7 +238,10 @@ object DedupQueries {
   /** The Jaccard pair graph dd03/dd07/t13 all start from, built once
     * per (session, sfDir, threshold) and deliberately shared across
     * those queries within a run ([[SessionCaches.memo]]) — a curation
-    * run's pair stage is computed once, not once per consumer.
+    * run's pair stage is computed once, not once per consumer. Like any
+    * cached Spark plan the share is SNAPSHOT-scoped: rewrite the data
+    * under `d` in place and the memo serves the pre-rewrite graph until
+    * [[SessionCaches.release]] ends the run scope.
     */
   def sharedJaccardPairs(s: SparkSession, d: String,
                          threshold: Double): DataFrame =
@@ -307,12 +310,12 @@ object DedupQueries {
     // each epoch is deduped against itself + the index, never against
     // re-shingled corpus text. The union over epochs must equal the
     // from-scratch dd04 pair set — same oracle SQL. The index dir is a
-    // per-invocation temp (tiny: 32 ints/doc); the returned frame reads
-    // only files committed at build time (pinned paths), so epoch 0's
-    // lazy plan cannot see epoch 1's append.
+    // per-invocation scratch dir (tiny: 32 ints/doc; reclaimed at JVM
+    // exit, FsUtil.scratchDir); the returned frame reads only files
+    // committed at build time (pinned paths), so epoch 0's lazy plan
+    // cannot see epoch 1's append.
     "dd08_incremental_neardup" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-dd08-index").toString
+      val dir = graft.FsUtil.scratchDir("dd08-index")
       val docs = documents(s, d)
       val p0 = graft.operators.DedupIndex.foldEpoch(s, dir, 0L,
         docs.filter(pmod(col("doc_id"), lit(2)) === 0))
@@ -349,8 +352,7 @@ object DedupQueries {
     // ONLY the candidate documents (pairs-bounded text work). Union over
     // epochs == exact Jaccard over the full LSH candidate set.
     "dd09_incremental_verified" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-dd09-index").toString
+      val dir = graft.FsUtil.scratchDir("dd09-index")
       val docs = documents(s, d)
       Seq(0, 1).map { e =>
         graft.operators.DedupIndex.appendEpoch(s, dir, e.toLong,

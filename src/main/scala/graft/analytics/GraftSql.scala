@@ -31,7 +31,10 @@ object GraftSql {
   /** Drop the per-query intermediates the dedup/similarity builders
     * persisted — call between queries in a long-lived session. Keyed
     * run-scope shares (the Jaccard pair graph) survive until
-    * [[releaseAll]] ends the run ([[SessionCaches]]).
+    * [[releaseAll]] ends the run ([[SessionCaches]]). NB the shares are
+    * SNAPSHOT-scoped like any cached Spark plan: after rewriting the
+    * underlying data in place, call [[releaseAll]] or the next dd03/
+    * dd07/t13 run reuses the pre-rewrite pair graph.
     */
   def release(spark: SparkSession): Unit = SessionCaches.releaseAnonymous(spark)
 

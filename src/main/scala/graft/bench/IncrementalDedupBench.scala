@@ -68,8 +68,8 @@ object IncrementalDedupBench {
 
     def docs = Tables.documents(spark, corpusDir)
     // deterministic 90/10/5 partition by doc_id percent bucket; the 5%
-    // epoch reuses half the 10% epoch's ids AS A SEPARATE RUN on a fresh
-    // index copy so both folds face the same-sized history
+    // epoch runs on a fresh index with the IDENTICAL 90% history, so the
+    // two fold trials differ ONLY in epoch size
     val hist = docs.filter(pmod(col("doc_id"), lit(100)) < 90)
     val ep10 = docs.filter(pmod(col("doc_id"), lit(100)) >= 90)
     val ep5 = docs.filter(pmod(col("doc_id"), lit(100)) >= 95)
@@ -102,12 +102,9 @@ object IncrementalDedupBench {
         DedupIndex.foldEpoch(spark, dir, 1L, ep10).count())
       SessionCaches.release(spark)
 
-      // fresh index with the SAME history for the 5% fold
+      // fresh index with the SAME 90% history for the 5% fold
       val dir2 = java.nio.file.Files.createTempDirectory(root, "idx5").toString
-      DedupIndex.foldEpoch(spark, dir2, 0L,
-        docs.filter(pmod(col("doc_id"), lit(100)) < 90 ||
-          (pmod(col("doc_id"), lit(100)) >= 90 &&
-            pmod(col("doc_id"), lit(100)) < 95))).count()
+      DedupIndex.foldEpoch(spark, dir2, 0L, hist).count()
       SessionCaches.release(spark)
       val c4 = PlatformControl.run(spark)
       val (tEp5, nEp5) = timed(

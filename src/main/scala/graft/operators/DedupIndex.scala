@@ -116,7 +116,12 @@ object DedupIndex {
     val dst = Paths.get(dir, rel)
     Files.createDirectories(sigsRoot(dir))
     val tmp = sigsRoot(dir).resolve(s".tmp-epoch-$epochId")
+    // `_sig_epoch` provenance column: a doc RE-SIGNED in a later epoch
+    // (an updated url on the streaming path) supersedes its older
+    // signature — readers resolve latest-per-doc ([[latestSigs]]), the
+    // index's LWW
     DedupQueries.minhashSignatures(docs)
+      .withColumn("_sig_epoch", lit(epochId))
       .write.mode("overwrite").parquet(tmp.toString)
     graft.FsUtil.deleteTree(dst) // crashed-attempt orphan, if any
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
@@ -161,7 +166,10 @@ object DedupIndex {
       s"compact needs a gap-free epoch range, got $ids")
     val rel = s"sigs/compact-${ids.min}-${ids.max}"
     val tmp = sigsRoot(dir).resolve(s".tmp-compact-${m.version + 1}")
-    spark.read.parquet(m.entries.map(e => s"$dir/${e.path}"): _*)
+    // physical supersession: only each doc's LATEST signature survives
+    // the fold (readers resolve latest anyway; compaction makes it
+    // storage truth)
+    latestSigs(spark.read.parquet(m.entries.map(e => s"$dir/${e.path}"): _*))
       .write.mode("overwrite").parquet(tmp.toString)
     val dst = Paths.get(dir, rel)
     graft.FsUtil.deleteTree(dst)
@@ -179,12 +187,34 @@ object DedupIndex {
     * manifest's entry list, with no human in the loop.
     */
   def autoMaintain(spark: SparkSession, dir: String, maxEntries: Int = 16,
-                   vacuumGraceMs: Long = 3600000L): (Boolean, Int) = {
+                   vacuumGraceMs: Long = 3600000L,
+                   keepManifests: Int = 64): (Boolean, Int) = {
     val m = loadManifest(dir)
     val ids = m.epochs
     val compacted = m.entries.size > maxEntries &&
       ids == (ids.min to ids.max) && compact(spark, dir)
+    expireManifests(dir, keepManifests)
     (compacted, vacuum(dir, vacuumGraceMs))
+  }
+
+  /** Delete index manifests older than the newest `keepLast` — the same
+    * meta/-growth bound [[graft.table.Maintenance.expireSnapshots]]
+    * enforces for the lake table (one manifest per epoch otherwise
+    * accumulates forever on a sink-maintained index).
+    */
+  def expireManifests(dir: String, keepLast: Int = 64): Int = {
+    require(keepLast >= 1)
+    if (!Files.exists(currentPtr(dir))) return 0
+    val cur = loadManifest(dir).version
+    var deleted = 0
+    graft.FsUtil.listDir(metaDir(dir))(_
+      .filter { pth =>
+        val n = pth.getFileName.toString
+        n.startsWith("v") && n.endsWith(".json") &&
+          n.stripPrefix("v").stripSuffix(".json").toLong <= cur - keepLast
+      }.toList)
+      .foreach { pth => Files.deleteIfExists(pth); deleted += 1 }
+    deleted
   }
 
   /** Delete sig dirs not referenced by the CURRENT manifest and older
@@ -207,12 +237,30 @@ object DedupIndex {
     deleted
   }
 
+  /** Latest signature per doc — the index's LWW over `_sig_epoch`. One
+    * narrow HashAggregate + equi-join; a no-op when every doc was
+    * signed once (the batch dd08/dd09 shape).
+    */
+  private def latestSigs(sigs: DataFrame): DataFrame = {
+    val latest = sigs.groupBy(col("doc_id"))
+      .agg(max(col("_sig_epoch")).as("_sig_epoch"))
+    sigs.join(latest, Seq("doc_id", "_sig_epoch"))
+  }
+
   /** Near-dup candidate pairs of epoch `epochId` against itself AND the
     * strictly-older index epochs, with minhash-estimated Jaccard —
     * byte-identical semantics to the batch [[DedupQueries
     * .minhashLshPairs]] restricted to pairs whose younger side is in
     * this epoch. Pairs are (doc_a < doc_b)-oriented regardless of which
     * side is the new document.
+    *
+    * Re-signed docs (same doc_id in an older epoch — an updated url on
+    * the streaming path) participate ONLY through their LATEST
+    * signature: the logical index content is one signature per doc, so
+    * the prior side drops both superseded versions and docs re-signed
+    * by THIS epoch. Without that, a doc's two signature rows would
+    * self-collide on every band and the est join-back would emit
+    * duplicate pairs with conflicting estimates.
     */
   def epochPairs(spark: SparkSession, dir: String, epochId: Long): DataFrame = {
     val prior = committedEpochs(dir).filter(_ < epochId)
@@ -222,25 +270,30 @@ object DedupIndex {
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    val cand0 =
-      if (prior.isEmpty) within
-      else {
-        val oldB = DedupQueries.sigBuckets(readSigs(spark, dir, prior))
-        // the doc_id inequality matters on the streaming path: the same
-        // document RE-SIGNED in a later epoch (an updated url) collides
-        // with its own older signature on every band and must not
-        // self-pair
+    val priorLive =
+      if (prior.isEmpty) None
+      else Some(latestSigs(readSigs(spark, dir, prior))
+        .join(newSigs.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    val cand0 = priorLive match {
+      case None => within
+      case Some(pl) =>
+        val oldB = DedupQueries.sigBuckets(pl)
+        // defense in depth: the prior side excludes this epoch's docs,
+        // so equal ids cannot meet — keep the guard anyway
         val cross = newB.as("x").join(oldB.as("y"),
             col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
               col("x.doc_id") =!= col("y.doc_id"))
           .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
             greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
         within.unionByName(cross)
-      }
+    }
     val cand = cand0.distinct()
-    val sigsAll =
-      if (prior.isEmpty) newSigs
-      else newSigs.unionByName(readSigs(spark, dir, prior))
+    // doc-unique signature side (new ∪ live prior) — a duplicate
+    // doc_id here would fan the est join out to duplicate pair rows
+    val sigsAll = (priorLive match {
+      case None => newSigs
+      case Some(pl) => newSigs.unionByName(pl)
+    }).drop("_sig_epoch")
     // est join-back: plain shuffle joins on doc_id — the index side is
     // narrow signature rows and at scale is NOT broadcastable (unlike
     // the batch op's test-scale broadcast)
@@ -277,12 +330,28 @@ object DedupIndex {
     * bounds candidate fan-out.
     */
   def verifiedEpochPairs(spark: SparkSession, dir: String, epochId: Long,
-                         corpus: DataFrame, threshold: Double): DataFrame = {
-    val cand = epochPairs(spark, dir, epochId)
-      .select(col("doc_a"), col("doc_b"))
+                         corpus: DataFrame, threshold: Double,
+                         requireFullCorpus: Boolean = true): DataFrame = {
+    val cand = graft.analytics.SessionCaches.track(
+      epochPairs(spark, dir, epochId).select(col("doc_a"), col("doc_b")))
     val ids = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id")))
       .distinct()
+    // silent-wrong guard: a corpus missing docs the index has seen
+    // would DROP their pairs through the inner joins below. The check
+    // is eager (one doc_id-only columnar pass over the corpus; cand is
+    // cached above, so the pair stage is not computed twice); pass
+    // requireFullCorpus = false to skip it when the corpus is known
+    // complete.
+    if (requireFullCorpus) {
+      val missing = ids
+        .join(corpus.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .count()
+      require(missing == 0L,
+        s"verifiedEpochPairs: corpus is missing $missing candidate " +
+          "doc(s) the index has seen - their pairs would be silently " +
+          "dropped (pass the full corpus, or requireFullCorpus=false)")
+    }
     val candDocs = corpus.select(col("doc_id"), col("text"))
       .join(broadcast(ids), Seq("doc_id"))
     // hashed-shingle dedup — same 2^-64 tradeoff note as

@@ -45,9 +45,10 @@ object CdcIngest {
     * xxhash64(url)) and appended under the stream's epochId, so each
     * arriving epoch can be deduped against the whole history without
     * ever re-shingling the corpus — the watermark-incremental posture
-    * applied to dedup. An updated url re-signs under a new epoch; its
-    * older signature stays (near-dup-of-prior-version pairs are real
-    * near-dups) until index compaction.
+    * applied to dedup. An updated url re-signs under a new epoch and
+    * SUPERSEDES its older signature (the index's logical content is one
+    * signature per doc — DedupIndex resolves latest-per-doc at read,
+    * compaction makes it storage truth).
     *
     * All sinks are independently epoch-idempotent, so a crash between
     * them replays only the one(s) that missed.
@@ -100,13 +101,20 @@ object CdcIngest {
       .start()
   }
 
-  /** Drain everything currently in the feed and stop (backfill mode). */
+  /** Drain everything currently in the feed and stop (backfill mode).
+    * Passes the sink options (`transform`/`statsDir`/`dedupIndexDir`)
+    * through to [[start]].
+    */
   def runAvailableNow(spark: SparkSession, feedDir: String, tableDir: String,
                       checkpointDir: String, numBuckets: Int = 32,
                       maxFilesPerTrigger: Option[Int] = None,
-                      mode: MergeInto.MergeMode = MergeInto.Auto): Unit = {
+                      mode: MergeInto.MergeMode = MergeInto.Auto,
+                      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity,
+                      statsDir: Option[String] = None,
+                      dedupIndexDir: Option[String] = None): Unit = {
     val q = start(spark, feedDir, tableDir, checkpointDir, numBuckets,
-      maxFilesPerTrigger, Trigger.AvailableNow(), mode)
+      maxFilesPerTrigger, Trigger.AvailableNow(), mode, transform,
+      statsDir, dedupIndexDir = dedupIndexDir)
     q.awaitTermination()
   }
 }

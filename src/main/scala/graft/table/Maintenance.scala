@@ -98,7 +98,11 @@ object Maintenance {
     * `vacuumGraceMs` and expire superseded snapshot manifests beyond
     * `keepManifests`. Returns (compacted?, filesVacuumed). The
     * thresholds bound the read-side merge tax, the orphan footprint AND
-    * the metadata chain without a human in the loop — the engine-side
+    * the metadata chain without a human in the loop. NB expiry is ON by
+    * default: changelog/time-travel consumers must poll within the last
+    * `keepManifests` snapshots or re-baseline (their reads past the
+    * horizon fail loudly) — raise `keepManifests` for slow consumers.
+    * This is the engine-side
     * analog of the reference's scheduler-driven upkeep (scheduler.py),
     * expressed as policy over the manifest instead of cron-driven SQL.
     */

@@ -86,6 +86,14 @@ class IncrementalDedupSpec extends SparkSpec {
     // history remains foldable after repeated compaction+vacuum
     assert(DedupIndex.foldEpoch(spark, dir, 20L, one
       .withColumn("doc_id", col("doc_id") + 20000)).count() >= 0)
+    // the index's own manifest chain is bounded too
+    assert(DedupIndex.expireManifests(dir, keepLast = 5) > 0)
+    import scala.jdk.CollectionConverters._
+    val metaJsons = graft.FsUtil.listDir(
+      java.nio.file.Paths.get(dir, "meta"))(
+      _.count(_.getFileName.toString.endsWith(".json")))
+    assert(metaJsons <= 5)
+    assert(DedupIndex.committedEpochs(dir) === (0L to 20L)) // CURRENT intact
     graft.analytics.SessionCaches.release(spark)
   }
 

@@ -62,25 +62,33 @@ class StreamingDedupIndexSpec extends SparkSpec {
     assert(inc === full)
     graft.analytics.SessionCaches.release(spark)
 
-    // checkpoint replay with nothing new: no new index epochs, same sigs
+    // checkpoint replay with nothing new — WITH the index sink attached,
+    // so a double-signing regression on the streaming path would show:
+    // no new index epochs, same signature rows
     val sigCount = DedupIndex.readSigs(spark, s"$base/ix", epochs).count()
     CdcIngest.runAvailableNow(spark, s"$base/feed", s"$base/table",
-      s"$base/ckpt", numBuckets = 4, maxFilesPerTrigger = Some(1))
+      s"$base/ckpt", numBuckets = 4, maxFilesPerTrigger = Some(1),
+      dedupIndexDir = Some(s"$base/ix"))
     assert(DedupIndex.committedEpochs(s"$base/ix") === epochs)
     assert(DedupIndex.readSigs(spark, s"$base/ix", epochs).count() === sigCount)
   }
 
-  test("an updated url re-signs without self-pairing") {
+  test("an updated doc's old signature is superseded, not paired against") {
     val base = tmpDir("sdix-upd")
     val dir = s"$base/ix"
-    val v1 = Seq((1L, "one two three four five six seven eight nine ten"))
-      .toDF("doc_id", "text")
-    DedupIndex.foldEpoch(spark, dir, 0L, v1).count()
-    // same doc key, slightly changed text, later epoch
-    val v2 = Seq((1L, "one two three four five six seven eight nine eleven"))
-      .toDF("doc_id", "text")
-    val pairs = DedupIndex.foldEpoch(spark, dir, 1L, v2).collect()
-    assert(pairs.forall(r => r.getLong(0) != r.getLong(1)),
-      "re-signed doc must not pair with itself")
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    DedupIndex.foldEpoch(spark, dir, 0L,
+      Seq((1L, words + " v-one")).toDF("doc_id", "text")).count()
+    // epoch 1: doc 1 updated, plus doc 2 IDENTICAL to doc 1's new text
+    val pairs = DedupIndex.foldEpoch(spark, dir, 1L,
+      Seq((1L, words + " v-two"), (2L, words + " v-two"))
+        .toDF("doc_id", "text")).collect()
+    // exactly ONE pair row (1,2): no self-pair of doc 1's two versions,
+    // no duplicate est rows from two live signatures of doc 1, and the
+    // estimate reflects the LATEST signature (identical texts -> 1.0)
+    assert(pairs.length === 1)
+    assert((pairs(0).getLong(0), pairs(0).getLong(1)) === (1L, 2L))
+    assert(pairs(0).getDouble(2) === 1.0,
+      "est must be computed against the latest signature")
   }
 }
