@@ -204,8 +204,8 @@ object DedupQueries {
       .filter(col("hamming") <= maxDist)
   }
 
-  private val NearDupTables = 6
-  private val NearDupPlanes = 4
+  private[graft] val NearDupTables = 6
+  private[graft] val NearDupPlanes = 4
 
   /** Embedding near-dup pairs with LSH-table candidate generation: each
     * vector gets one sign-bucket per hash table (literal hyperplanes —
@@ -321,6 +321,20 @@ object DedupQueries {
         docs.filter(pmod(col("doc_id"), lit(2)) === 0))
       val p1 = graft.operators.DedupIndex.foldEpoch(s, dir, 1L,
         docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      p0.unionByName(p1)
+    }),
+
+    // Incremental EMBEDDING near-dup: the dd08 pattern for the vector
+    // modality — two-epoch fold through a persisted vector index
+    // (operators/EmbeddingIndex, shared manifest layer), pair set equal
+    // to the from-scratch dd06 — same oracle SQL.
+    "dd11_incremental_embedding" -> ((s, d) => {
+      val dir = graft.FsUtil.scratchDir("dd11-index")
+      val vecs = embeddings(s, d)
+      val p0 = graft.operators.EmbeddingIndex.foldEpoch(s, dir, 0L,
+        vecs.filter(pmod(col("vec_id"), lit(2)) === 0), 0.4)
+      val p1 = graft.operators.EmbeddingIndex.foldEpoch(s, dir, 1L,
+        vecs.filter(pmod(col("vec_id"), lit(2)) === 1), 0.4)
       p0.unionByName(p1)
     }),
 
@@ -519,7 +533,10 @@ object DedupQueries {
          | UNION
          | SELECT e.doc_a, r.label FROM edges e JOIN reach r ON r.doc_id = e.doc_b)
          |SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
-    "dd06_embedding_neardup" -> {
+    "dd11_incremental_embedding" -> embeddingNearDupOracleSql,
+    "dd06_embedding_neardup" -> embeddingNearDupOracleSql)
+
+  private lazy val embeddingNearDupOracleSql: String = {
       val tbls = (0 until NearDupTables).map { t =>
         val planes = Hashing.hyperplanes(NearDupPlanes, 64, 1000L + t)
         s"SELECT vec_id, v, $t AS tbl, ${Hashing.bucketSql("v", planes)} AS bkt FROM e"
@@ -532,6 +549,5 @@ object DedupQueries {
          |FROM b x JOIN b y
          | ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id
          |WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.4""".stripMargin
-    }
-  )
+  }
 }

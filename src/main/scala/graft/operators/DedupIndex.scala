@@ -109,20 +109,28 @@ object DedupIndex {
     * is overwritten by the retry — only the manifest defines existence.
     */
   def appendEpoch(spark: SparkSession, dir: String, epochId: Long,
-                  docs: DataFrame): Boolean = {
+                  docs: DataFrame): Boolean =
+    // `_sig_epoch` provenance column: a doc RE-SIGNED in a later epoch
+    // (an updated url on the streaming path) supersedes its older
+    // signature — readers resolve latest-per-doc ([[latestSigs]]), the
+    // index's LWW
+    appendFrame(dir, epochId,
+      DedupQueries.minhashSignatures(docs).withColumn("_sig_epoch", lit(epochId)))
+
+  /** Storage-layer append shared by the signature modalities
+    * ([[DedupIndex]] minhash, [[EmbeddingIndex]] vectors): commit `df`
+    * (already carrying `_sig_epoch`) as `epochId` under the manifest
+    * protocol.
+    */
+  private[operators] def appendFrame(dir: String, epochId: Long,
+                                     df: DataFrame): Boolean = {
     val m = loadManifest(dir)
     if (m.isCommitted(epochId)) return false
     val rel = s"sigs/epoch=$epochId"
     val dst = Paths.get(dir, rel)
     Files.createDirectories(sigsRoot(dir))
     val tmp = sigsRoot(dir).resolve(s".tmp-epoch-$epochId")
-    // `_sig_epoch` provenance column: a doc RE-SIGNED in a later epoch
-    // (an updated url on the streaming path) supersedes its older
-    // signature — readers resolve latest-per-doc ([[latestSigs]]), the
-    // index's LWW
-    DedupQueries.minhashSignatures(docs)
-      .withColumn("_sig_epoch", lit(epochId))
-      .write.mode("overwrite").parquet(tmp.toString)
+    df.write.mode("overwrite").parquet(tmp.toString)
     graft.FsUtil.deleteTree(dst) // crashed-attempt orphan, if any
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
     commitManifest(dir, IndexManifest(m.version + 1,
@@ -158,7 +166,8 @@ object DedupIndex {
     * in-flight pinned-path readers until [[vacuum]]. Returns true if a
     * compaction happened.
     */
-  def compact(spark: SparkSession, dir: String): Boolean = {
+  def compact(spark: SparkSession, dir: String,
+              keyCol: String = "doc_id"): Boolean = {
     val m = loadManifest(dir)
     if (m.entries.size <= 1) return false
     val ids = m.epochs
@@ -169,7 +178,8 @@ object DedupIndex {
     // physical supersession: only each doc's LATEST signature survives
     // the fold (readers resolve latest anyway; compaction makes it
     // storage truth)
-    latestSigs(spark.read.parquet(m.entries.map(e => s"$dir/${e.path}"): _*))
+    latestSigs(spark.read.parquet(m.entries.map(e => s"$dir/${e.path}"): _*),
+        keyCol)
       .write.mode("overwrite").parquet(tmp.toString)
     val dst = Paths.get(dir, rel)
     graft.FsUtil.deleteTree(dst)
@@ -188,11 +198,12 @@ object DedupIndex {
     */
   def autoMaintain(spark: SparkSession, dir: String, maxEntries: Int = 16,
                    vacuumGraceMs: Long = 3600000L,
-                   keepManifests: Int = 64): (Boolean, Int) = {
+                   keepManifests: Int = 64,
+                   keyCol: String = "doc_id"): (Boolean, Int) = {
     val m = loadManifest(dir)
     val ids = m.epochs
     val compacted = m.entries.size > maxEntries &&
-      ids == (ids.min to ids.max) && compact(spark, dir)
+      ids == (ids.min to ids.max) && compact(spark, dir, keyCol)
     expireManifests(dir, keepManifests)
     (compacted, vacuum(dir, vacuumGraceMs))
   }
@@ -241,10 +252,11 @@ object DedupIndex {
     * narrow HashAggregate + equi-join; a no-op when every doc was
     * signed once (the batch dd08/dd09 shape).
     */
-  private def latestSigs(sigs: DataFrame): DataFrame = {
-    val latest = sigs.groupBy(col("doc_id"))
+  private[operators] def latestSigs(sigs: DataFrame,
+                                    keyCol: String = "doc_id"): DataFrame = {
+    val latest = sigs.groupBy(col(keyCol))
       .agg(max(col("_sig_epoch")).as("_sig_epoch"))
-    sigs.join(latest, Seq("doc_id", "_sig_epoch"))
+    sigs.join(latest, Seq(keyCol, "_sig_epoch"))
   }
 
   /** Near-dup candidate pairs of epoch `epochId` against itself AND the

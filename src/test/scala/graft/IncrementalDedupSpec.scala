@@ -70,6 +70,41 @@ class IncrementalDedupSpec extends SparkSpec {
     graft.analytics.SessionCaches.release(spark)
   }
 
+  test("embedding index: three-epoch fold equals batch embedding near-dup") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.EmbeddingIndex
+    val dir = tmpDir("dd11")
+    val vecs = graft.analytics.Tables.embeddings(spark, sf)
+    val all = (0 to 2).map { e =>
+      EmbeddingIndex.foldEpoch(spark, dir, e.toLong,
+        vecs.filter(pmod(col("vec_id"), lit(3)) === e), 0.3)
+    }.reduce(_ unionByName _)
+    val batch = graft.analytics.DedupQueries
+      .embeddingNearDupPairs(spark, sf, 0.3)
+    def ps(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ps(batch).nonEmpty)
+    assert(ps(all) === ps(batch))
+    graft.analytics.SessionCaches.release(spark)
+  }
+
+  test("embedding index: a re-embedded vec supersedes its old vector") {
+    import graft.operators.EmbeddingIndex
+    import spark.implicits._
+    val dir = tmpDir("dd11-upd")
+    def v(seed: Int) = Array.tabulate(64)(i =>
+      (graft.analytics.Hashing.mix(seed * 1000L + i) % 1000L).toFloat / 1000f)
+    EmbeddingIndex.foldEpoch(spark, dir, 0L,
+      Seq((1L, v(1))).toDF("vec_id", "embedding"), 0.5).count()
+    // epoch 1: vec 1 re-embedded to v(2); vec 2 identical to v(2)
+    val pairs = EmbeddingIndex.foldEpoch(spark, dir, 1L,
+      Seq((1L, v(2)), (2L, v(2))).toDF("vec_id", "embedding"), 0.5).collect()
+    assert(pairs.length === 1)
+    assert((pairs(0).getLong(0), pairs(0).getLong(1)) === (1L, 2L))
+    assert(pairs(0).getDouble(2) === 1.0,
+      "cosine must come from the latest vector")
+  }
+
   test("autoMaintain bounds the entry count over many appended epochs") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir("dd08-auto")
