@@ -324,6 +324,20 @@ object DedupQueries {
       p0.unionByName(p1)
     }),
 
+    // Incremental SIMHASH near-dup: the dd08 pattern for the third
+    // signature modality (operators/SimHashIndex, shared manifest
+    // layer) — two-epoch fold, pair set equal to from-scratch dd05 —
+    // same oracle SQL.
+    "dd12_incremental_simhash" -> ((s, d) => {
+      val dir = graft.FsUtil.scratchDir("dd12-index")
+      val docs = documents(s, d)
+      val p0 = graft.operators.SimHashIndex.foldEpoch(s, dir, 0L,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), 3)
+      val p1 = graft.operators.SimHashIndex.foldEpoch(s, dir, 1L,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), 3)
+      p0.unionByName(p1)
+    }),
+
     // Incremental EMBEDDING near-dup: the dd08 pattern for the vector
     // modality — two-epoch fold through a persisted vector index
     // (operators/EmbeddingIndex, shared manifest layer), pair set equal
@@ -499,7 +513,10 @@ object DedupQueries {
         |FROM sh t JOIN ev ON ev.shingle = t.shingle
         |WHERE t.doc_id % 20 <> 0
         |GROUP BY 1""".stripMargin,
-    "dd05_simhash" -> {
+    "dd05_simhash" -> simhashOracleSql,
+    "dd12_incremental_simhash" -> simhashOracleSql) ++ oraclesRest
+
+  private lazy val simhashOracleSql: String = {
       val bitCols = (0 until SimBits)
         .map(j => s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b_$j")
         .mkString(",\n |  ")
@@ -522,7 +539,9 @@ object DedupQueries {
          |FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND (
          |  $bandOr)
          |WHERE bit_count(xor(x.sh, y.sh)) <= 3""".stripMargin
-    },
+  }
+
+  private lazy val oraclesRest: Map[String, String] = Map(
     "dd07_dup_clusters" ->
       s"""WITH RECURSIVE ${jaccardPairsSqlCtes(0.8)},
          |edges AS (

@@ -88,6 +88,22 @@ class IncrementalDedupSpec extends SparkSpec {
     graft.analytics.SessionCaches.release(spark)
   }
 
+  test("simhash index: three-epoch fold equals batch simhash pairs") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SimHashIndex
+    val dir = tmpDir("dd12")
+    val all = (0 to 2).map { e =>
+      SimHashIndex.foldEpoch(spark, dir, e.toLong,
+        docs.filter(pmod(col("doc_id"), lit(3)) === e), 3)
+    }.reduce(_ unionByName _)
+    val batch = DedupQueries.simhashPairs(docs, 3)
+    def ps(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ps(batch).nonEmpty)
+    assert(ps(all) === ps(batch))
+    graft.analytics.SessionCaches.release(spark)
+  }
+
   test("embedding index: a re-embedded vec supersedes its old vector") {
     import graft.operators.EmbeddingIndex
     import spark.implicits._
