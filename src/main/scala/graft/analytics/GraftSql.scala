@@ -28,17 +28,31 @@ object GraftSql {
     graft.plans.TopKFunctions.register(spark)
   }
 
-  /** Drop the per-query intermediates the dedup/similarity builders
-    * persisted — call between queries in a long-lived session. Keyed
-    * run-scope shares (the Jaccard pair graph) survive until
-    * [[releaseAll]] ends the run ([[SessionCaches]]). NB the shares are
-    * SNAPSHOT-scoped like any cached Spark plan: after rewriting the
-    * underlying data in place, call [[releaseAll]] or the next dd03/
-    * dd07/t13 run reuses the pre-rewrite pair graph.
+  /** Drop EVERYTHING this session cached — anonymous intermediates AND
+    * keyed run-scope shares (the Jaccard pair graph, centroid memos).
+    * This is the FULL release: a long-lived caller that rewrites data
+    * under a registered dir calls this and the next query recomputes
+    * from the new files — no stale memoized plans survive. (Round-4
+    * advice: `release` must keep its historical drop-everything
+    * semantics; the weaker between-queries drop moved to
+    * [[releaseQueryScope]].)
     */
-  def release(spark: SparkSession): Unit = SessionCaches.releaseAnonymous(spark)
+  def release(spark: SparkSession): Unit = SessionCaches.release(spark)
 
-  /** Drop EVERYTHING this session cached, incl. run-scope shares. */
+  /** Drop only the per-query ANONYMOUS intermediates (shingle sets,
+    * signatures) — the between-queries release for a long-lived session
+    * that wants run-scope shares (the pair graph dd03/dd07/t13 split) to
+    * keep amortizing across queries. Shares are SNAPSHOT-scoped like any
+    * cached Spark plan: after rewriting the underlying data in place,
+    * call [[release]] or the next dd03/dd07/t13 run reuses the
+    * pre-rewrite pair graph.
+    */
+  def releaseQueryScope(spark: SparkSession): Unit =
+    SessionCaches.releaseAnonymous(spark)
+
+  /** Alias of [[release]] (kept for callers that adopted the round-4
+    * name).
+    */
   def releaseAll(spark: SparkSession): Unit = SessionCaches.release(spark)
 
   /** Register every testdata table under its own name. */

@@ -28,6 +28,11 @@ import scala.collection.mutable
 object SessionCaches {
   private final case class Entry(key: Option[String], df: DataFrame)
   private val reg = mutable.Map[SparkSession, mutable.ListBuffer[Entry]]()
+  // driver-side VALUE memos (trained centroids, collected stats) — same
+  // run scope as the keyed DataFrame memos: released by [[release]], so
+  // an in-place data rewrite can never serve stale driver-side state
+  // past the run boundary
+  private val valReg = mutable.Map[SparkSession, mutable.Map[String, Any]]()
 
   /** Bound on tracked intermediates per session: a caller that never
     * releases (direct DedupQueries API use without GraftSql.release)
@@ -84,6 +89,20 @@ object SessionCaches {
       }
     }
 
+  /** Build-once-per-(session, key) for a DRIVER-SIDE VALUE (a collected
+    * centroid set, a bounded stats map): the [[memo]] discipline for
+    * results that live on the driver rather than in the block store.
+    * Nothing to unpersist — [[release]] just forgets the entry. The
+    * round-4 fix for s02/s04 retraining identical k-means centroids
+    * twice per suite run.
+    */
+  def memoValue[T](spark: SparkSession, key: String)(build: => T): T =
+    synchronized {
+      valReg.filterInPlace((s, _) => !s.sparkContext.isStopped)
+      val m = valReg.getOrElseUpdate(spark, mutable.Map())
+      m.getOrElseUpdate(key, build).asInstanceOf[T]
+    }
+
   /** Unpersist the anonymous intermediates of `spark`, keeping keyed
     * memo entries — the between-queries release.
     */
@@ -100,5 +119,7 @@ object SessionCaches {
     */
   def release(spark: SparkSession): Unit = synchronized {
     reg.remove(spark).foreach(_.foreach(_.df.unpersist(blocking = false)))
+    valReg.remove(spark)
+    ()
   }
 }

@@ -130,6 +130,17 @@ object SimilarityQueries {
     * balanced (list skew = probe-cost skew).
     */
   private[analytics] def trainCentroids(s: SparkSession, d: String,
+      kCentroids: Int, iters: Int): Seq[(Long, Array[Double])] =
+    // one training per (run, corpus, k, iters): s02 and s04 share the
+    // identical centroid set, so the second caller reuses the collected
+    // K-dim doubles instead of re-running two corpus passes — the same
+    // run-scope share discipline as sharedJaccardPairs (released with
+    // the session's run scope, so a data rewrite retrains)
+    SessionCaches.memoValue(s, s"kmeans-cents|$d|$kCentroids|$iters") {
+      trainCentroidsUncached(s, d, kCentroids, iters)
+    }
+
+  private def trainCentroidsUncached(s: SparkSession, d: String,
       kCentroids: Int, iters: Int): Seq[(Long, Array[Double])] = {
     var cents = collectCentroids(s, d, kCentroids)
     val dim = cents.head._2.length

@@ -107,15 +107,33 @@ object DedupIndex {
     * and writes nothing — the retry contract of an at-least-once feed.
     * A sig dir left by a CRASHED attempt (written but never committed)
     * is overwritten by the retry — only the manifest defines existence.
+    *
+    * `deletes` (doc_id rows), when given, commit TOMBSTONE signatures
+    * for docs deleted in this epoch: an all-null signature row that the
+    * latest-per-doc resolution picks up and the live filters drop — so
+    * a deleted url's signature stops generating pairs the moment its
+    * delete epoch lands (round-4 advice: before this, op='D' rows were
+    * filtered at the sink and a deleted doc kept pairing forever).
+    * Compaction drops tombstoned docs physically.
     */
   def appendEpoch(spark: SparkSession, dir: String, epochId: Long,
-                  docs: DataFrame): Boolean =
+                  docs: DataFrame,
+                  deletes: Option[DataFrame] = None): Boolean = {
     // `_sig_epoch` provenance column: a doc RE-SIGNED in a later epoch
     // (an updated url on the streaming path) supersedes its older
     // signature — readers resolve latest-per-doc ([[latestSigs]]), the
     // index's LWW
-    appendFrame(dir, epochId,
-      DedupQueries.minhashSignatures(docs).withColumn("_sig_epoch", lit(epochId)))
+    val live = DedupQueries.minhashSignatures(docs)
+    val sigs = deletes match {
+      case None => live
+      case Some(del) =>
+        val tomb = del.select((col("doc_id") +:
+          (0 until DedupQueries.MinhashK)
+            .map(i => lit(null).cast("long").as(s"mh_$i"))): _*)
+        live.unionByName(tomb)
+    }
+    appendFrame(dir, epochId, sigs.withColumn("_sig_epoch", lit(epochId)))
+  }
 
   /** Storage-layer append shared by the signature modalities
     * ([[DedupIndex]] minhash, [[EmbeddingIndex]] vectors): commit `df`
@@ -158,34 +176,48 @@ object DedupIndex {
     spark.read.parquet(sel.map(e => s"$dir/${e.path}"): _*)
   }
 
-  /** Fold the whole committed history into ONE range entry (one merged
-    * parquet dir): 10^4 ingest epochs must not mean 10^4 dirs to list
-    * and open per fold. Requires the committed epoch set to be gap-free
-    * (streaming epochs are; refuses loudly otherwise rather than
-    * claiming uncommitted ids). Superseded dirs stay on disk for
+  /** Fold all entries STRICTLY OLDER than the newest committed epoch
+    * into ONE range entry (one merged parquet dir): 10^4 ingest epochs
+    * must not mean 10^4 dirs to list and open per fold. The newest
+    * epoch keeps its own entry so the two read shapes this engine asks
+    * for — "the fresh epoch" and "all strictly-older epochs" — always
+    * resolve even on a sink that autoMaintains after every append
+    * (round-4 advice: folding the just-appended epoch broke
+    * retrospective [[epochPairs]] on it). Requires the folded range to
+    * be gap-free (streaming epochs are; refuses loudly otherwise rather
+    * than claiming uncommitted ids). Superseded dirs stay on disk for
     * in-flight pinned-path readers until [[vacuum]]. Returns true if a
     * compaction happened.
     */
   def compact(spark: SparkSession, dir: String,
               keyCol: String = "doc_id"): Boolean = {
     val m = loadManifest(dir)
-    if (m.entries.size <= 1) return false
-    val ids = m.epochs
+    val sorted = m.entries.sortBy(_.maxEpoch)
+    if (sorted.size <= 2) return false // < 2 entries strictly below newest
+    val newest = sorted.last
+    val olders = sorted.init
+    val ids = olders.flatMap(e => e.minEpoch to e.maxEpoch).sorted
     require(ids == (ids.min to ids.max),
-      s"compact needs a gap-free epoch range, got $ids")
+      s"compact needs a gap-free epoch range below the newest, got $ids")
     val rel = s"sigs/compact-${ids.min}-${ids.max}"
     val tmp = sigsRoot(dir).resolve(s".tmp-compact-${m.version + 1}")
-    // physical supersession: only each doc's LATEST signature survives
-    // the fold (readers resolve latest anyway; compaction makes it
-    // storage truth)
-    latestSigs(spark.read.parquet(m.entries.map(e => s"$dir/${e.path}"): _*),
-        keyCol)
+    // physical supersession: only each doc's LATEST signature in the
+    // folded range survives (readers resolve latest anyway; compaction
+    // makes it storage truth), and docs whose latest is a TOMBSTONE
+    // (all payload columns null) are dropped outright — safe because
+    // the fold covers the full strictly-older prefix, so no yet-older
+    // entry can resurrect a stale signature
+    val folded = latestSigs(
+      spark.read.parquet(olders.map(e => s"$dir/${e.path}"): _*), keyCol)
+    val payload = folded.columns.filterNot(c => c == keyCol || c == "_sig_epoch")
+    folded
+      .filter(!payload.map(col(_).isNull).reduce(_ && _))
       .write.mode("overwrite").parquet(tmp.toString)
     val dst = Paths.get(dir, rel)
     graft.FsUtil.deleteTree(dst)
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
     commitManifest(dir, IndexManifest(m.version + 1,
-      List(IndexEntry(ids.min, ids.max, rel))), m.version)
+      List(IndexEntry(ids.min, ids.max, rel), newest)), m.version)
     true
   }
 
@@ -201,8 +233,9 @@ object DedupIndex {
                    keepManifests: Int = 64,
                    keyCol: String = "doc_id"): (Boolean, Int) = {
     val m = loadManifest(dir)
-    val ids = m.epochs
-    val compacted = m.entries.size > maxEntries &&
+    val olders = m.entries.sortBy(_.maxEpoch).dropRight(1)
+    val ids = olders.flatMap(e => e.minEpoch to e.maxEpoch).sorted
+    val compacted = m.entries.size > maxEntries && olders.size >= 2 &&
       ids == (ids.min to ids.max) && compact(spark, dir, keyCol)
     expireManifests(dir, keepManifests)
     (compacted, vacuum(dir, vacuumGraceMs))
@@ -276,16 +309,24 @@ object DedupIndex {
     */
   def epochPairs(spark: SparkSession, dir: String, epochId: Long): DataFrame = {
     val prior = committedEpochs(dir).filter(_ < epochId)
-    val newSigs = readSigs(spark, dir, Seq(epochId))
+    val newAll = readSigs(spark, dir, Seq(epochId))
+    // tombstone rows (deleted docs, all-null signature) participate only
+    // in the EXCLUSION below — they generate no buckets and no pairs
+    val newSigs = newAll.filter(col("mh_0").isNotNull)
     val newB = DedupQueries.sigBuckets(newSigs)
     val within = newB.as("x").join(newB.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // prior side: latest-per-doc, minus docs this epoch re-signed OR
+    // deleted (the anti-join key set is ALL of this epoch's rows incl.
+    // tombstones), minus docs whose latest prior row is itself a
+    // tombstone (deleted in an earlier epoch, never re-added)
     val priorLive =
       if (prior.isEmpty) None
       else Some(latestSigs(readSigs(spark, dir, prior))
-        .join(newSigs.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+        .filter(col("mh_0").isNotNull)
+        .join(newAll.select(col("doc_id")), Seq("doc_id"), "left_anti"))
     val cand0 = priorLive match {
       case None => within
       case Some(pl) =>
@@ -349,23 +390,28 @@ object DedupIndex {
     val ids = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id")))
       .distinct()
+    // ONE corpus pass, cached: the guard below and the shingle stage
+    // both read these pairs-bounded (doc_id, text) rows from the block
+    // store, so the corpus text is scanned exactly once per epoch
+    val candDocs = graft.analytics.SessionCaches.track(
+      corpus.select(col("doc_id"), col("text"))
+        .join(broadcast(ids), Seq("doc_id")))
     // silent-wrong guard: a corpus missing docs the index has seen
-    // would DROP their pairs through the inner joins below. The check
-    // is eager (one doc_id-only columnar pass over the corpus; cand is
-    // cached above, so the pair stage is not computed twice); pass
-    // requireFullCorpus = false to skip it when the corpus is known
-    // complete.
+    // would DROP their pairs through the inner joins below. Folded into
+    // the candidate-fetch pass (round-4 advice — the previous
+    // formulation paid a separate doc_id-only corpus scan per epoch):
+    // the eager count materializes candDocs (which everything downstream
+    // reuses) and the set difference runs on two cached pairs-bounded
+    // frames. Pass requireFullCorpus = false to skip.
     if (requireFullCorpus) {
       val missing = ids
-        .join(corpus.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(candDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
         .count()
       require(missing == 0L,
         s"verifiedEpochPairs: corpus is missing $missing candidate " +
           "doc(s) the index has seen - their pairs would be silently " +
           "dropped (pass the full corpus, or requireFullCorpus=false)")
     }
-    val candDocs = corpus.select(col("doc_id"), col("text"))
-      .join(broadcast(ids), Seq("doc_id"))
     // hashed-shingle dedup — same 2^-64 tradeoff note as
     // DedupQueries.ngramJaccardPairs
     val sh = DedupQueries.shingles(candDocs)

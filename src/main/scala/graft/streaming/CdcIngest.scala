@@ -46,9 +46,11 @@ object CdcIngest {
     * arriving epoch can be deduped against the whole history without
     * ever re-shingling the corpus — the watermark-incremental posture
     * applied to dedup. An updated url re-signs under a new epoch and
-    * SUPERSEDES its older signature (the index's logical content is one
-    * signature per doc — DedupIndex resolves latest-per-doc at read,
-    * compaction makes it storage truth).
+    * SUPERSEDES its older signature; a DELETED url supersedes to a
+    * tombstone the same epoch, so the index stops pairing against it
+    * (the index's logical content is one signature per LIVE doc —
+    * DedupIndex resolves latest-per-doc at read, compaction makes it
+    * storage truth).
     *
     * All sinks are independently epoch-idempotent, so a crash between
     * them replays only the one(s) that missed.
@@ -86,12 +88,18 @@ object CdcIngest {
           DomainStatsRollup.upsert(batch.sparkSession, sd, b, epochId))
         dedupIndexDir.foreach { ix =>
           import org.apache.spark.sql.functions.{col, xxhash64}
-          val winners = graft.operators.LwwCollapse
+          val collapsed = graft.operators.LwwCollapse
             .collapse(MergeInto.alignToLatest(b))
+          val winners = collapsed
             .filter(col("op") =!= "D" && col("text").isNotNull)
             .select(xxhash64(col("url")).as("doc_id"), col("text"))
+          // a deleted url's signature is superseded by a TOMBSTONE row
+          // the same epoch its delete merges — the index never keeps
+          // pairing against documents no longer in the table
+          val deletes = collapsed.filter(col("op") === "D")
+            .select(xxhash64(col("url")).as("doc_id"))
           graft.operators.DedupIndex.appendEpoch(
-            batch.sparkSession, ix, epochId, winners)
+            batch.sparkSession, ix, epochId, winners, Some(deletes))
           // bound the index's own metadata as epochs accumulate —
           // same posture as the table's autoMaintain
           graft.operators.DedupIndex.autoMaintain(batch.sparkSession, ix)

@@ -78,9 +78,17 @@ case class Snapshot(
 
   /** Ledger + stats update for one newly-committed epoch (bounded in
     * both dimensions); the caller composes file/lineage changes on top.
+    * Refuses an already-committed epochId: the ledger would dedup the id
+    * but `totals`/`epochStats` would double-count the redelivered stats
+    * — the exactly-once invariant lives HERE, not in call-site guards
+    * (MergeInto checks isCommitted first, but any future caller that
+    * skips the check must fail loudly, not corrupt lifetime totals).
     */
   def withEpoch(epochId: Long, stat: EpochStat): Snapshot = {
     require(epochId >= 0, s"epoch ids must be >= 0, got $epochId")
+    require(!isCommitted(epochId),
+      s"epoch $epochId is already committed - redelivered epochs must " +
+        "be dropped by the caller (Snapshot.isCommitted), not re-added")
     var floor = epochFloor
     var rest = (committedEpochs :+ epochId).filter(_ > floor).distinct.sorted
     while (rest.nonEmpty && rest.head == floor + 1) {

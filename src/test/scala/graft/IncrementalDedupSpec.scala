@@ -44,29 +44,33 @@ class IncrementalDedupSpec extends SparkSpec {
     graft.analytics.SessionCaches.release(spark)
   }
 
-  test("index compaction folds contiguous epochs; folds continue correctly; vacuum reclaims") {
+  test("compaction folds strictly-older epochs; the newest stays readable; vacuum reclaims") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir("dd08-compact")
-    val parts = (0 to 2).map(e => docs.filter(pmod(col("doc_id"), lit(3)) === e))
-    val p01 = Seq(0, 1).map(e =>
+    val parts = (0 to 3).map(e => docs.filter(pmod(col("doc_id"), lit(4)) === e))
+    val p012 = (0 to 2).map(e =>
       DedupIndex.foldEpoch(spark, dir, e.toLong, parts(e)))
       .reduce(_ unionByName _).persist()
-    p01.count()
+    p012.count()
     assert(DedupIndex.compact(spark, dir))
-    assert(!DedupIndex.compact(spark, dir), "single entry: nothing to compact")
-    assert(DedupIndex.committedEpochs(dir) === Seq(0L, 1L))
+    assert(!DedupIndex.compact(spark, dir),
+      "one folded entry + the newest: nothing left to compact")
+    assert(DedupIndex.committedEpochs(dir) === Seq(0L, 1L, 2L))
+    // the newest epoch keeps its own entry, so its retrospective pair
+    // query still resolves AFTER compaction (round-4 advice regression)
+    assert(DedupIndex.epochPairs(spark, dir, 2L).count() >= 0)
     // redelivery across the compaction boundary is still a no-op
     assert(!DedupIndex.appendEpoch(spark, dir, 1L, parts(1)))
     // the next epoch folds against the COMPACTED history
-    val p2 = DedupIndex.foldEpoch(spark, dir, 2L, parts(2))
-    val inc = pairSet(p01.unionByName(p2))
+    val p3 = DedupIndex.foldEpoch(spark, dir, 3L, parts(3))
+    val inc = pairSet(p012.unionByName(p3))
     assert(inc === pairSet(batchPairs))
-    p01.unpersist()
-    // vacuum with zero grace reclaims the superseded per-epoch dirs
+    p012.unpersist()
+    // vacuum with zero grace reclaims the two superseded per-epoch dirs
     assert(DedupIndex.vacuum(dir, graceMs = 0L) === 2)
     assert(DedupIndex.vacuum(dir, graceMs = 0L) === 0)
     // and the index still reads after reclamation
-    assert(DedupIndex.epochPairs(spark, dir, 2L).count() === p2.count())
+    assert(DedupIndex.epochPairs(spark, dir, 3L).count() === p3.count())
     graft.analytics.SessionCaches.release(spark)
   }
 
@@ -129,6 +133,10 @@ class IncrementalDedupSpec extends SparkSpec {
       DedupIndex.appendEpoch(spark, dir, e.toLong, one
         .withColumn("doc_id", col("doc_id") + e * 1000))
       DedupIndex.autoMaintain(spark, dir, maxEntries = 8, vacuumGraceMs = 0L)
+      // the just-appended epoch must stay individually resolvable right
+      // after maintenance, every epoch — the round-4 advice failure was
+      // compaction swallowing the fresh epoch past maxEntries
+      DedupIndex.epochPairs(spark, dir, e.toLong)
     }
     val m = DedupIndex.loadManifest(dir)
     assert(m.entries.size <= 9,
@@ -152,6 +160,10 @@ class IncrementalDedupSpec extends SparkSpec {
     val dir = tmpDir("dd08-gap")
     DedupIndex.appendEpoch(spark, dir, 0L, docs.limit(5))
     DedupIndex.appendEpoch(spark, dir, 5L, docs.limit(5))
+    // two entries = nothing strictly-older to fold: benign no-op
+    assert(!DedupIndex.compact(spark, dir))
+    DedupIndex.appendEpoch(spark, dir, 6L, docs.limit(5))
+    // now the strictly-older set {0, 5} is gap-filled: refuse loudly
     val e = intercept[IllegalArgumentException] { DedupIndex.compact(spark, dir) }
     assert(e.getMessage.contains("gap-free"))
   }
@@ -206,6 +218,22 @@ class IncrementalDedupSpec extends SparkSpec {
     }.toSet
     assert(expected.nonEmpty)
     assert(verified === expected)
+    graft.analytics.SessionCaches.release(spark)
+  }
+
+  test("verified pairs guard fires on a corpus missing a candidate doc; escape hatch proceeds") {
+    val dir = tmpDir("dd09-guard")
+    DedupIndex.appendEpoch(spark, dir, 0L, docs)
+    val aCand = DedupIndex.epochPairs(spark, dir, 0L)
+      .select(col("doc_a")).limit(1).collect()(0).getLong(0)
+    val holed = docs.filter(col("doc_id") =!= aCand)
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.verifiedEpochPairs(spark, dir, 0L, holed, 0.5)
+    }
+    assert(e.getMessage.contains("missing"))
+    // explicit opt-out: proceeds, silently dropping the held-out doc's pairs
+    assert(DedupIndex.verifiedEpochPairs(spark, dir, 0L, holed, 0.5,
+      requireFullCorpus = false).count() >= 0)
     graft.analytics.SessionCaches.release(spark)
   }
 

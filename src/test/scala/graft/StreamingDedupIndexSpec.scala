@@ -73,6 +73,81 @@ class StreamingDedupIndexSpec extends SparkSpec {
     assert(DedupIndex.readSigs(spark, s"$base/ix", epochs).count() === sigCount)
   }
 
+  test("a deleted doc is tombstoned: it stops pairing, and a re-add revives it") {
+    val base = tmpDir("sdix-del")
+    val dir = s"$base/ix"
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    DedupIndex.foldEpoch(spark, dir, 0L,
+      Seq((1L, words + " x"), (2L, words + " x")).toDF("doc_id", "text")).count()
+    // epoch 1: doc 2 deleted, doc 3 added identical to doc 1
+    DedupIndex.appendEpoch(spark, dir, 1L,
+      Seq((3L, words + " x")).toDF("doc_id", "text"),
+      deletes = Some(Seq(Tuple1(2L)).toDF("doc_id")))
+    val p1 = DedupIndex.epochPairs(spark, dir, 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 === Set((1L, 3L)),
+      "the deleted doc must not appear in any pair")
+    // epoch 2: doc 2 re-added — live again, pairs against both
+    DedupIndex.appendEpoch(spark, dir, 2L,
+      Seq((2L, words + " x")).toDF("doc_id", "text"))
+    val p2 = DedupIndex.epochPairs(spark, dir, 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 === Set((1L, 2L), (2L, 3L)))
+  }
+
+  test("compaction physically drops docs whose latest signature is a tombstone") {
+    val base = tmpDir("sdix-del-compact")
+    val dir = s"$base/ix"
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    DedupIndex.appendEpoch(spark, dir, 0L,
+      Seq((1L, words + " x"), (2L, words + " x")).toDF("doc_id", "text"))
+    DedupIndex.appendEpoch(spark, dir, 1L,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      deletes = Some(Seq(Tuple1(2L)).toDF("doc_id")))
+    DedupIndex.appendEpoch(spark, dir, 2L,
+      Seq((3L, words + " y")).toDF("doc_id", "text"))
+    assert(DedupIndex.compact(spark, dir))
+    // the folded strictly-older range [0,1] now holds doc 1 only: doc
+    // 2's live row is superseded by its tombstone and BOTH are gone
+    val folded = DedupIndex.readSigs(spark, dir, Seq(0L, 1L))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(folded === Set(1L))
+  }
+
+  test("streaming op='D' tombstones the url's signature in the sink-maintained index") {
+    val base = tmpDir("sdix-opd")
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def ev(seq: Long, op: String, url: String, text: String) =
+      (seq, op, url, new java.sql.Timestamp(1700000000000L + seq * 1000L),
+        null: Array[Byte], text, "en", null.asInstanceOf[java.lang.Double])
+    // segment 0: urls a and b with identical text
+    FeedGen.appendSegment(spark, s"$base/feed",
+      Seq(ev(0L, "U", "https://ex.org/a", words + " x"),
+        ev(1L, "U", "https://ex.org/b", words + " x"))
+        .toDF(CdcSchema.latest.fieldNames: _*).coalesce(1), "s0")
+    // segment 1: b deleted, c added identical to a
+    FeedGen.appendSegment(spark, s"$base/feed",
+      Seq(ev(2L, "D", "https://ex.org/b", null),
+        ev(3L, "U", "https://ex.org/c", words + " x"))
+        .toDF(CdcSchema.latest.fieldNames: _*).coalesce(1), "s1")
+    CdcIngest.runAvailableNow(spark, s"$base/feed", s"$base/table",
+      s"$base/ckpt", numBuckets = 4, maxFilesPerTrigger = Some(1),
+      dedupIndexDir = Some(s"$base/ix"))
+    val epochs = DedupIndex.committedEpochs(s"$base/ix")
+    assert(epochs.size === 2)
+    val ids = Map("a" -> xx("https://ex.org/a"), "b" -> xx("https://ex.org/b"),
+      "c" -> xx("https://ex.org/c"))
+    val pairs = DedupIndex.epochPairs(spark, s"$base/ix", epochs.last)
+      .collect().map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set(Set(ids("a"), ids("c"))),
+      s"deleted url b must pair with nothing, got $pairs")
+    graft.analytics.SessionCaches.release(spark)
+  }
+
+  private def xx(s: String): Long =
+    Seq(Tuple1(s)).toDF("u").select(xxhash64(col("u")))
+      .collect()(0).getLong(0)
+
   test("an updated doc's old signature is superseded, not paired against") {
     val base = tmpDir("sdix-upd")
     val dir = s"$base/ix"
