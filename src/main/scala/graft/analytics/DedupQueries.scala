@@ -375,6 +375,42 @@ object DedupQueries {
           countDistinct(col("eval_id")).as("n_eval_docs"))
     }),
 
+    // INCREMENTAL EXACT pairs: the dd08 pattern for the exact-Jaccard
+    // modality (operators/ShingleIndex — persisted distinct hashed
+    // shingle sets with on-row denominators). Two-epoch fold; the union
+    // must equal from-scratch dd03 — same oracle SQL, no corpus
+    // re-shingling after each doc's signing epoch.
+    "dd14_incremental_jaccard" -> ((s, d) => {
+      val dir = graft.FsUtil.scratchDir("dd14-index")
+      val docs = documents(s, d)
+      val p0 = graft.operators.ShingleIndex.foldEpoch(s, dir, 0L,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), 0.8)
+      val p1 = graft.operators.ShingleIndex.foldEpoch(s, dir, 1L,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), 0.8)
+      p0.unionByName(p1)
+    }),
+
+    // INCREMENTAL dup clustering — the round-4 brief's last
+    // batch-recompute holdout: per-epoch exact pairs (ShingleIndex)
+    // fold into a persisted label state table (operators/ClusterIndex,
+    // label-graph contraction + bounded CC per epoch); the final labels
+    // must equal from-scratch dd07 on the cumulative corpus — same
+    // oracle SQL. Clustering cost per epoch tracks the epoch's pair
+    // delta, never the historical graph.
+    "dd13_incremental_clusters" -> ((s, d) => {
+      val shDir = graft.FsUtil.scratchDir("dd13-sh")
+      val clDir = graft.FsUtil.scratchDir("dd13-cl")
+      val docs = documents(s, d)
+      Seq(0, 1).foreach { e =>
+        val pairs = graft.operators.ShingleIndex.foldEpoch(s, shDir,
+          e.toLong, docs.filter(pmod(col("doc_id"), lit(2)) === e), 0.8)
+        graft.operators.ClusterIndex.foldEpoch(s, clDir, e.toLong,
+          pairs.select(col("doc_a"), col("doc_b")))
+      }
+      graft.operators.ClusterIndex.readLabels(s, clDir)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    }),
+
     // Incremental candidates + EXACT-Jaccard verify: the two-epoch fold
     // again, but each epoch's index candidates are verified by shingling
     // ONLY the candidate documents (pairs-bounded text work). Union over
@@ -494,6 +530,11 @@ object DedupQueries {
     "dd03_ngram_jaccard" ->
       s"""WITH ${jaccardPairsSqlCtes(0.8)}
          |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
+    // the incremental exact fold must produce EXACTLY the from-scratch
+    // pair set — same oracle as dd03
+    "dd14_incremental_jaccard" ->
+      s"""WITH ${jaccardPairsSqlCtes(0.8)}
+         |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
     "dd04_minhash_lsh" -> minhashLshOracleSql,
     // the incremental fold must produce EXACTLY the from-scratch pair
     // set — same oracle as dd04
@@ -541,17 +582,22 @@ object DedupQueries {
          |WHERE bit_count(xor(x.sh, y.sh)) <= 3""".stripMargin
   }
 
+  private lazy val dupClustersOracleSql: String =
+    s"""WITH RECURSIVE ${jaccardPairsSqlCtes(0.8)},
+       |edges AS (
+       | SELECT doc_a, doc_b FROM pairs
+       | UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc_id, label) AS (
+       | SELECT DISTINCT doc_a, doc_a FROM edges
+       | UNION
+       | SELECT e.doc_a, r.label FROM edges e JOIN reach r ON r.doc_id = e.doc_b)
+       |SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY 1""".stripMargin
+
   private lazy val oraclesRest: Map[String, String] = Map(
-    "dd07_dup_clusters" ->
-      s"""WITH RECURSIVE ${jaccardPairsSqlCtes(0.8)},
-         |edges AS (
-         | SELECT doc_a, doc_b FROM pairs
-         | UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(doc_id, label) AS (
-         | SELECT DISTINCT doc_a, doc_a FROM edges
-         | UNION
-         | SELECT e.doc_a, r.label FROM edges e JOIN reach r ON r.doc_id = e.doc_b)
-         |SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
+    "dd07_dup_clusters" -> dupClustersOracleSql,
+    // the maintained cluster state must equal from-scratch clustering
+    // on the cumulative corpus — same oracle as dd07
+    "dd13_incremental_clusters" -> dupClustersOracleSql,
     "dd11_incremental_embedding" -> embeddingNearDupOracleSql,
     "dd06_embedding_neardup" -> embeddingNearDupOracleSql)
 

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental DUP-CLUSTER maintenance — the last batch-recompute
+  * holdout of the dedup family, closed: dd07 runs connected components
+  * over the CUMULATIVE pair graph every run, so at a daily feed the
+  * per-epoch clustering cost grows with history. This operator persists
+  * the cluster labels as a maintained state table (the shared
+  * [[DedupIndex]] manifest layer — snapshot commits, exactly-once
+  * epochs, compaction, vacuum) and folds each epoch's NEW pairs on a
+  * bounded subgraph.
+  *
+  * State row: (node, label, _sig_epoch) where label = the node's
+  * component-min id over ALL pairs seen so far — exactly dd07's
+  * canonical labels. Read = latest-per-node (the manifest layer's LWW).
+  *
+  * The fold is label-graph contraction. Invariant: entering epoch E,
+  * every clustered node's stored label is its component-min over the
+  * cumulative graph up to E-1. New edges can only merge whole
+  * components (or attach new nodes), so it suffices to run CC over the
+  * CONTRACTED graph whose vertices are component labels and the
+  * epoch's new node ids:
+  *   1. map each new edge's endpoints to their stored labels (a node
+  *      with no stored label is new; it maps to itself) — one narrow
+  *      join of the epoch's endpoint set against the state table,
+  *      output epoch-bounded;
+  *   2. run [[ConnectedComponents]] over those label-level edges
+  *      (self-loops dropped) — input bounded by the epoch's pairs,
+  *      never the corpus;
+  *   3. the resulting min-labels are GLOBAL min ids, because every
+  *      stored label is already its component's min and every node is
+  *      >= its own label — min over the contracted vertices = min over
+  *      all member docs;
+  *   4. append only the CHANGED rows: new nodes (straight from the
+  *      contracted CC output) and members of relabeled components (one
+  *      narrow state scan joined against the broadcast old-to-new label
+  *      map — bounded by the components the epoch's edges touched).
+  * An epoch that bridges two existing clusters therefore rewrites
+  * exactly the rows of the cluster that loses the min race, not the
+  * corpus; an epoch whose pairs all land inside existing clusters
+  * writes nothing.
+  *
+  * Cost per epoch: O(new pairs) for the contraction + one narrow
+  * (node, label) scan of the state table for the relabel join — no
+  * pair-graph recompute, no CC over history. Oracle-checked as dd13:
+  * folding per-epoch exact pairs ([[ShingleIndex]]) through this index
+  * reproduces from-scratch dd07's labels on the cumulative corpus.
+  *
+  * Reference analog: the maintained `_update_user_stats` aggregate
+  * (/root/reference/convoetl/loaders/sqlite.py:205-236) — fold the
+  * delta into persisted state instead of recomputing from history.
+  *
+  * Retractions (edge deletes) are NOT maintained — removing an edge can
+  * split a component, which min-labels cannot detect locally; a corpus
+  * with retracted pairs re-clusters from scratch (documented non-goal,
+  * same as dd07).
+  */
+object ClusterIndex {
+
+  /** Current labels: (node, label), latest-per-node. */
+  def readLabels(spark: SparkSession, dir: String): DataFrame = {
+    val epochs = DedupIndex.committedEpochs(dir)
+    require(epochs.nonEmpty, s"cluster index at $dir has no committed epochs")
+    DedupIndex.latestSigs(
+      DedupIndex.readSigs(spark, dir, epochs), "node")
+      .select(col("node"), col("label"))
+  }
+
+  /** Fold `pairs` (first two columns = an undirected edge list — the
+    * epoch's NEW near-dup pairs) into the maintained labels as
+    * `epochId`. Idempotent: a redelivered epoch returns false and runs
+    * nothing. Returns true when the epoch committed.
+    */
+  def foldEpoch(spark: SparkSession, dir: String, epochId: Long,
+                pairs: DataFrame): Boolean = {
+    if (DedupIndex.loadManifest(dir).isCommitted(epochId)) return false
+    val Array(cSrc, cDst) = pairs.columns.take(2)
+    val p = pairs.select(col(cSrc).as("src"), col(cDst).as("dst"))
+    val prior = DedupIndex.committedEpochs(dir).filter(_ < epochId)
+    val delta: DataFrame = prior match {
+      case Nil =>
+        // first epoch: the contracted graph IS the pair graph
+        if (p.isEmpty)
+          spark.createDataFrame(spark.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("node",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("label",
+                org.apache.spark.sql.types.LongType))))
+        else ConnectedComponents.run(spark, p).labels
+      case _ =>
+        val state = DedupIndex.latestSigs(
+          DedupIndex.readSigs(spark, dir, prior), "node")
+          .select(col("node"), col("label"))
+        // endpoint set of the epoch's edges — epoch-bounded, broadcast
+        val ends = p.select(col("src").as("node"))
+          .unionByName(p.select(col("dst").as("node"))).distinct()
+        val sub = state.join(broadcast(ends), Seq("node"))
+        // contract: endpoint -> stored label, new nodes -> themselves
+        val ls = sub.select(col("node").as("src"), col("label").as("ls"))
+        val ld = sub.select(col("node").as("dst"), col("label").as("ld"))
+        val contracted = p
+          .join(ls, Seq("src"), "left")
+          .join(ld, Seq("dst"), "left")
+          .select(coalesce(col("ls"), col("src")).as("a"),
+            coalesce(col("ld"), col("dst")).as("b"))
+          .filter(col("a") =!= col("b"))
+        if (contracted.isEmpty) {
+          // every edge lands inside an existing component: nothing to
+          // write, but the epoch still commits (exactly-once marker)
+          spark.createDataFrame(spark.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row],
+            state.schema)
+        } else {
+          val cc = ConnectedComponents.run(spark, contracted).labels
+          // old labels whose component got a smaller min, and new nodes
+          val changed = cc.filter(col("node") =!= col("label"))
+          val newIds = ends.join(state, Seq("node"), "left_anti")
+          val newRows = cc.join(broadcast(newIds), Seq("node"))
+          // relabel every member of a merged component: narrow state
+          // scan x broadcast (old label -> new label) map
+          val m = changed
+            .join(state.select(col("node")), Seq("node"), "left_semi")
+            .select(col("node").as("_old"), col("label").as("_new"))
+          val relabeled = state
+            .join(broadcast(m), col("label") === col("_old"))
+            .select(col("node"), col("_new").as("label"))
+          newRows.unionByName(relabeled)
+        }
+    }
+    DedupIndex.appendFrame(dir, epochId,
+      delta.withColumn("_sig_epoch", lit(epochId)))
+  }
+
+  /** [[DedupIndex.autoMaintain]] with the cluster key — bounds manifest
+    * entries and state dirs on a sink-maintained cluster index.
+    */
+  def autoMaintain(spark: SparkSession, dir: String, maxEntries: Int = 16,
+                   vacuumGraceMs: Long = 3600000L): (Boolean, Int) =
+    DedupIndex.autoMaintain(spark, dir, maxEntries, vacuumGraceMs,
+      keyCol = "node")
+}

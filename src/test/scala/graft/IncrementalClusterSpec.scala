@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.DedupQueries
+import graft.operators.{ClusterIndex, DedupIndex, ShingleIndex}
+
+/** dd13/dd14: the incremental exact-pair index (ShingleIndex) must
+  * reproduce batch n-gram Jaccard, and the maintained cluster state
+  * (ClusterIndex) must reproduce from-scratch connected components —
+  * including the bridge case, min-stealing new nodes, and bounded
+  * writes.
+  */
+class IncrementalClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = graft.analytics.Tables.documents(spark, sf)
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      new java.math.BigDecimal(r.get(2).toString))).toSet
+
+  test("shingle index: three-epoch fold equals batch exact Jaccard pairs") {
+    val dir = tmpDir("dd14-three")
+    val all = (0 to 2).map { e =>
+      ShingleIndex.foldEpoch(spark, dir, e.toLong,
+        docs.filter(pmod(col("doc_id"), lit(3)) === e), 0.8)
+    }.reduce(_ unionByName _)
+    val batch = DedupQueries.ngramJaccardPairs(docs, 0.8)
+    assert(pairSet(batch).nonEmpty, "test corpus must contain near-dups")
+    assert(pairSet(all) === pairSet(batch))
+    graft.analytics.SessionCaches.release(spark)
+  }
+
+  test("shingle index: a re-signed doc pairs from its LATEST set only; deletes tombstone") {
+    val dir = tmpDir("dd14-resign")
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ShingleIndex.foldEpoch(spark, dir, 0L,
+      Seq((1L, words + " v-one")).toDF("doc_id", "text"), 0.5).count()
+    // epoch 1: doc 1 rewritten to v-two, doc 2 identical to v-two
+    val p1 = ShingleIndex.foldEpoch(spark, dir, 1L,
+      Seq((1L, words + " v-two"), (2L, words + " v-two"))
+        .toDF("doc_id", "text"), 0.5).collect()
+    assert(p1.length === 1)
+    assert((p1(0).getLong(0), p1(0).getLong(1)) === (1L, 2L))
+    assert(p1(0).getDouble(2) === 1.0,
+      "jaccard must come from the latest shingle set")
+    // epoch 2: doc 1 deleted; doc 3 identical — only (2,3) can pair
+    ShingleIndex.appendEpoch(spark, dir, 2L,
+      Seq((3L, words + " v-two")).toDF("doc_id", "text"),
+      deletes = Some(Seq(Tuple1(1L)).toDF("doc_id")))
+    val p2 = ShingleIndex.epochPairs(spark, dir, 2L, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 === Set((2L, 3L)))
+  }
+
+  test("cluster index: incremental fold equals from-scratch dd07 labels") {
+    val shDir = tmpDir("dd13-sh")
+    val clDir = tmpDir("dd13-cl")
+    (0 to 2).foreach { e =>
+      val pairs = ShingleIndex.foldEpoch(spark, shDir, e.toLong,
+        docs.filter(pmod(col("doc_id"), lit(3)) === e), 0.8)
+      ClusterIndex.foldEpoch(spark, clDir, e.toLong,
+        pairs.select(col("doc_a"), col("doc_b")))
+    }
+    def labelSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = labelSet(ClusterIndex.readLabels(spark, clDir))
+    val batch = labelSet(DedupQueries.dupClusters(spark, sf, 0.8)
+      .select(col("doc_id"), col("cluster_id")))
+    assert(batch.nonEmpty)
+    assert(inc === batch)
+    graft.analytics.SessionCaches.release(spark)
+  }
+
+  test("an epoch that bridges two clusters rewrites only the losing cluster's rows") {
+    val dir = tmpDir("dd13-bridge")
+    // epoch 0: components {1,2} and {5,6}, plus an untouched {8,9}
+    ClusterIndex.foldEpoch(spark, dir, 0L,
+      Seq((1L, 2L), (5L, 6L), (8L, 9L)).toDF("a", "b"))
+    val s0 = ClusterIndex.readLabels(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s0 === Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
+    // epoch 1: edge (2,5) bridges the first two components
+    ClusterIndex.foldEpoch(spark, dir, 1L, Seq((2L, 5L)).toDF("a", "b"))
+    val s1 = ClusterIndex.readLabels(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 8L -> 8L, 9L -> 8L))
+    // bounded write: epoch 1's delta holds ONLY the relabeled loser rows
+    val delta = DedupIndex.readSigs(spark, dir, Seq(1L))
+      .select(col("node"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(delta === Set((5L, 1L), (6L, 1L)),
+      s"untouched components must not be rewritten, got $delta")
+  }
+
+  test("a new node with a smaller id steals the component min") {
+    val dir = tmpDir("dd13-steal")
+    ClusterIndex.foldEpoch(spark, dir, 0L, Seq((10L, 11L)).toDF("a", "b"))
+    // epoch 1: new node 5 attaches to the {10,11} cluster
+    ClusterIndex.foldEpoch(spark, dir, 1L, Seq((5L, 11L)).toDF("a", "b"))
+    val s = ClusterIndex.readLabels(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s === Map(5L -> 5L, 10L -> 5L, 11L -> 5L))
+  }
+
+  test("in-cluster and empty epochs write nothing but still commit; redelivery is a no-op") {
+    val dir = tmpDir("dd13-noop")
+    ClusterIndex.foldEpoch(spark, dir, 0L, Seq((1L, 2L)).toDF("a", "b"))
+    // epoch 1: the pair already lives inside one component
+    assert(ClusterIndex.foldEpoch(spark, dir, 1L, Seq((1L, 2L)).toDF("a", "b")))
+    assert(DedupIndex.readSigs(spark, dir, Seq(1L)).count() === 0)
+    // epoch 2: no pairs at all
+    assert(ClusterIndex.foldEpoch(spark, dir, 2L,
+      Seq.empty[(Long, Long)].toDF("a", "b")))
+    assert(DedupIndex.committedEpochs(dir) === Seq(0L, 1L, 2L))
+    // redelivered epoch: no-op, no recompute
+    assert(!ClusterIndex.foldEpoch(spark, dir, 1L, Seq((1L, 99L)).toDF("a", "b")))
+    assert(ClusterIndex.readLabels(spark, dir).count() === 2)
+  }
+
+  test("cluster state survives compaction + vacuum and keeps folding") {
+    val dir = tmpDir("dd13-compact")
+    ClusterIndex.foldEpoch(spark, dir, 0L, Seq((1L, 2L)).toDF("a", "b"))
+    ClusterIndex.foldEpoch(spark, dir, 1L, Seq((5L, 6L)).toDF("a", "b"))
+    ClusterIndex.foldEpoch(spark, dir, 2L, Seq((3L, 4L)).toDF("a", "b"))
+    assert(DedupIndex.compact(spark, dir, keyCol = "node"))
+    assert(DedupIndex.vacuum(dir, graceMs = 0L) === 2)
+    ClusterIndex.foldEpoch(spark, dir, 3L, Seq((2L, 5L)).toDF("a", "b"))
+    val s = ClusterIndex.readLabels(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+}
