@@ -116,14 +116,19 @@ object DedupQueries {
     * ([[graft.operators.DedupIndex]]), so both produce the identical
     * candidate space.
     */
-  private[graft] def sigBuckets(sig: DataFrame): DataFrame = {
+  private[graft] def sigBuckets(sig: DataFrame,
+                                carry: Seq[String] = Nil): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         struct((0 until RowsPerBand)
           .map(r => col(s"mh_${b * RowsPerBand + r}").as(s"r$r")): _*).as("bkt"))
     }
-    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+    // `carry` columns (the index's `_sig_epoch` provenance) ride through
+    // the explode as plain projections — no join back to the sig frame
+    sig.select(col("doc_id") +: carry.map(col) :+
+        explode(array(bandCols: _*)).as("bb"): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        col("bb.band").as("band") :+ col("bb.bkt").as("bkt"): _*)
   }
 
   /** Matching-minhash-rows count between signature sides aliased `a`/`b`

@@ -66,8 +66,10 @@ class IncrementalDedupSpec extends SparkSpec {
     val inc = pairSet(p012.unionByName(p3))
     assert(inc === pairSet(batchPairs))
     p012.unpersist()
-    // vacuum with zero grace reclaims the two superseded per-epoch dirs
-    assert(DedupIndex.vacuum(dir, graceMs = 0L) === 2)
+    // vacuum with zero grace reclaims the superseded per-epoch dirs:
+    // sigs/ + buckets/ + resigned/ for each of the two folded epochs
+    // (the compacted entry bakes their supersession into storage)
+    assert(DedupIndex.vacuum(dir, graceMs = 0L) === 6)
     assert(DedupIndex.vacuum(dir, graceMs = 0L) === 0)
     // and the index still reads after reclamation
     assert(DedupIndex.epochPairs(spark, dir, 3L).count() === p3.count())
