@@ -80,8 +80,8 @@ object SimilarityQueries {
     * merge path's ≤ numBuckets stats collects: O(index params), never
     * O(data).
     */
-  private def nearestCentroid(s: SparkSession, v: Column,
-                              cents: Seq[(Long, Array[Double])]): Column = {
+  private[graft] def nearestCentroid(s: SparkSession, v: Column,
+                                     cents: Seq[(Long, Array[Double])]): Column = {
     val scored = cents.map { case (id, cv) =>
       struct(round(cosine(s, typedLit(cv), v), 4).as("cos"),
         lit(-id).as("negid"))
@@ -129,7 +129,7 @@ object SimilarityQueries {
     * at 10^9 vectors the refinement is what keeps inverted lists
     * balanced (list skew = probe-cost skew).
     */
-  private[analytics] def trainCentroids(s: SparkSession, d: String,
+  private[graft] def trainCentroids(s: SparkSession, d: String,
       kCentroids: Int, iters: Int): Seq[(Long, Array[Double])] =
     // one training per (run, corpus, k, iters): s02 and s04 share the
     // identical centroid set, so the second caller reuses the collected
@@ -164,6 +164,18 @@ object SimilarityQueries {
     cents
   }
 
+  /** Per-vector inverted-list assignment of a (vec_id, v) frame against
+    * a FIXED centroid set — the projection-argmax shape shared by the
+    * batch ops and the persisted-centroid epoch path
+    * ([[graft.operators.IvfCentroids.assignEpoch]]): no retraining, no
+    * shuffle, one codegen'd map pass over the vectors.
+    */
+  private[graft] def assignVectors(s: SparkSession, vecsDf: DataFrame,
+      cents: Seq[(Long, Array[Double])]): DataFrame =
+    vecsDf.withColumn("win", nearestCentroid(s, col("v"), cents))
+      .select(col("vec_id"), (-col("win.negid")).as("list_id"),
+        col("win.cos").as("cos"))
+
   /** IVF-style assignment: nearest of K Lloyd-trained centroids
     * (deterministic and oracle-expressible — [[trainCentroids]]). One
     * pass, no shuffle until the final per-list aggregate
@@ -172,9 +184,8 @@ object SimilarityQueries {
   def ivfAssign(s: SparkSession, d: String, kCentroids: Int,
                 iters: Int = KmeansIters): DataFrame = {
     val cents = trainCentroids(s, d, kCentroids, iters)
-    vecs(s, d)
-      .withColumn("win", nearestCentroid(s, col("v"), cents))
-      .select((-col("win.negid")).as("centroid_id"), col("win.cos").as("cos"))
+    assignVectors(s, vecs(s, d), cents)
+      .select(col("list_id").as("centroid_id"), col("cos"))
       .groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_vecs"), round(avg(col("cos")), 4).as("avg_cos"))
   }
