@@ -17,8 +17,10 @@ object TextQueries {
 
   private def words(c: Column): Column = split(c, " ")
   // stopword lists: deterministic heuristic language-ID (public-knowledge
-  // function words; doubles as the quality-score stopword set).
-  private val stopEn = Seq("the", "and", "of", "to", "a", "in", "is", "it", "data", "value")
+  // function words; doubles as the quality-score stopword set). The
+  // English list lives in DocMetrics — shared with the ingest-maintained
+  // metrics path so both compute the same quality score.
+  private val stopEn = DocMetrics.stopEn
   private val stopDe = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu")
   private val stopFr = Seq("le", "la", "et", "les", "des", "un", "une", "est")
   private val stopEs = Seq("el", "la", "de", "que", "y", "los", "un", "una")
@@ -27,16 +29,11 @@ object TextQueries {
     size(filter(words(c), w => w.isInCollection(stops)))
 
   /** Quality score: length score (0.6 weight, saturating at 500 chars) +
-    * English-stopword ratio (0.4) — shared by t08 and the curation
-    * pipeline (t13).
+    * English-stopword ratio (0.4) — shared by t08, the curation
+    * pipeline (t13), and the ingest-maintained metrics table
+    * ([[DocMetrics.quality]] is the single definition).
     */
-  private def qualityCol: Column = {
-    val w = words(col("text"))
-    val stopRatio = hitCount(lower(col("text")), stopEn).cast("double") /
-      nullif(size(w), lit(0))
-    val lenScore = least(length(col("text")).cast("double") / 500.0, lit(1.0))
-    round(lenScore * 0.6 + stopRatio * 0.4, 4)
-  }
+  private def qualityCol: Column = DocMetrics.quality(col("text"))
 
   /** Rolling polynomial fingerprint over the word stream, mod 1e9+7 —
     * matches the DuckDB list_reduce oracle exactly because both fold

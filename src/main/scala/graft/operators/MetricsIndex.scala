@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.analytics.DocMetrics
+
+/** Ingest-maintained PER-DOCUMENT curation metrics — the quality /
+  * token-count / repetition columns a corpus-curation run gates on,
+  * computed ONCE when a document arrives (or is updated) and persisted,
+  * so the curation pipeline reads maintained columns instead of
+  * re-scanning the corpus text per run (the round-4 brief's task: t08/
+  * t16 are expression-only but still corpus-pass-per-run as batch
+  * queries; at a 100 TB daily feed the metric pass must ride the epoch,
+  * not the corpus — the same watermark-incremental posture as
+  * [[DedupIndex]]).
+  *
+  * Storage is the SHARED manifest layer in [[DedupIndex]]
+  * (appendFrame / readSigs / latestSigs / compact / autoMaintain with
+  * keyCol = doc_id): snapshot-committed epoch dirs, exactly-once under
+  * redelivery, latest-per-doc supersession for updated urls, all-null
+  * tombstones for deletes (compaction drops them physically). One
+  * commit protocol, now four maintained modalities (minhash / simhash /
+  * embedding signatures, and these scalar metrics).
+  *
+  * The metric math itself is [[DocMetrics]] — literally the same
+  * `Column` expressions the batch t08/t16 queries evaluate, all pure
+  * per-row (the t16 explode→aggregate is re-expressed as an in-row
+  * sort + run-length fold), so appendEpoch adds ZERO exchanges to the
+  * ingest sink: the epoch batch is projected and written, nothing else.
+  *
+  * Reference analog: the per-batch enrichment/stats maintenance
+  * (/root/reference/convoetl/flows/generic_analytics_flow_simple
+  * .py:53–99 metric expressions; loaders/sqlite.py:205–236 maintained
+  * per-entity stats) — per-doc scalar metrics maintained from the sink.
+  */
+object MetricsIndex {
+
+  /** Metric payload columns (name → spark sql type). ws_tokens is
+    * non-null for every live row (text is non-null by the sink
+    * contract), which is what distinguishes a live row from an all-null
+    * tombstone.
+    */
+  val metricSchema: Seq[(String, String)] = Seq(
+    "ws_tokens" -> "long",
+    "quality" -> "double",
+    "top2gram_frac" -> "double",
+    "dup2gram_frac" -> "double",
+    "rep_keep" -> "boolean")
+
+  private def liveSchema: StructType = StructType(
+    StructField("doc_id", LongType, nullable = false) +:
+      metricSchema.map { case (n, t) =>
+        StructField(n, org.apache.spark.sql.catalyst.parser
+          .CatalystSqlParser.parseDataType(t), nullable = true)
+      })
+
+  /** Project `docs` (doc_id, text) to metric rows — one pass, pure
+    * expressions, no shuffle. The repetition struct is computed once
+    * per row and fanned into its three derived columns.
+    */
+  def metricRows(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .withColumn("_rs", DocMetrics.repStats(col("text")))
+      .select(col("doc_id"),
+        DocMetrics.wsTokens(col("text")).as("ws_tokens"),
+        DocMetrics.quality(col("text")).as("quality"),
+        round(col("_rs.top_cnt") / col("_rs.n_grams"), 4)
+          .as("top2gram_frac"),
+        round(col("_rs.dup_grams") / col("_rs.n_grams"), 4)
+          .as("dup2gram_frac"),
+        (col("_rs.top_cnt") / col("_rs.n_grams") <= 0.2).as("rep_keep"))
+
+  /** Compute and commit epoch `epochId`'s metric rows. `docs` carries
+    * (doc_id, text) for the epoch's LWW winners; `deletes` (doc_id)
+    * commit all-null tombstones so a deleted url's metrics stop being
+    * served the moment its delete epoch lands. Idempotent per epoch
+    * (manifest ledger): a redelivered epoch returns false and writes
+    * nothing.
+    */
+  def appendEpoch(spark: SparkSession, dir: String, epochId: Long,
+                  docs: DataFrame,
+                  deletes: Option[DataFrame] = None): Boolean = {
+    val live = metricRows(docs)
+    val rows = deletes match {
+      case None => live
+      case Some(del) => live.unionByName(del.select(col("doc_id") +:
+        metricSchema.map { case (n, t) => lit(null).cast(t).as(n) }: _*))
+    }
+    DedupIndex.appendFrame(dir, epochId,
+      rows.withColumn("_sig_epoch", lit(epochId)))
+  }
+
+  /** Current metrics: latest row per doc, tombstones dropped — one
+    * narrow scan of the committed entries (post-compaction: one merged
+    * dir + the freshest epoch).
+    */
+  def readLive(spark: SparkSession, dir: String): DataFrame = {
+    val epochs = DedupIndex.committedEpochs(dir)
+    if (epochs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], liveSchema)
+    else
+      DedupIndex.latestSigs(DedupIndex.readSigs(spark, dir, epochs))
+        .filter(col("ws_tokens").isNotNull)
+        .drop("_sig_epoch")
+  }
+
+  /** Threshold-driven compaction/vacuum — delegates to the shared
+    * layer's [[DedupIndex.autoMaintain]] (doc_id key, no buckets side).
+    */
+  def autoMaintain(spark: SparkSession, dir: String,
+                   maxEntries: Int = 16): (Boolean, Int) =
+    DedupIndex.autoMaintain(spark, dir, maxEntries)
+}

@@ -63,7 +63,8 @@ object CdcIngest {
             transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity,
             statsDir: Option[String] = None,
             feedFormat: String = "parquet",
-            dedupIndexDir: Option[String] = None): StreamingQuery = {
+            dedupIndexDir: Option[String] = None,
+            metricsDir: Option[String] = None): StreamingQuery = {
     // WAL archive format: parquet (default) or JSONL segments — binary
     // html rides base64 through JSON and round-trips byte-identically
     // (TailModeSpec). Anything else (csv, text) cannot carry the binary
@@ -86,23 +87,30 @@ object CdcIngest {
         MergeInto.merge(batch.sparkSession, tableDir, b, epochId, mode)
         statsDir.foreach(sd =>
           DomainStatsRollup.upsert(batch.sparkSession, sd, b, epochId))
-        dedupIndexDir.foreach { ix =>
+        if (dedupIndexDir.nonEmpty || metricsDir.nonEmpty) {
           import org.apache.spark.sql.functions.{col, xxhash64}
           val collapsed = graft.operators.LwwCollapse
             .collapse(MergeInto.alignToLatest(b))
           val winners = collapsed
             .filter(col("op") =!= "D" && col("text").isNotNull)
             .select(xxhash64(col("url")).as("doc_id"), col("text"))
-          // a deleted url's signature is superseded by a TOMBSTONE row
-          // the same epoch its delete merges — the index never keeps
-          // pairing against documents no longer in the table
+          // a deleted url's signature/metrics are superseded by a
+          // TOMBSTONE row the same epoch its delete merges — neither
+          // index keeps serving documents no longer in the table
           val deletes = collapsed.filter(col("op") === "D")
             .select(xxhash64(col("url")).as("doc_id"))
-          graft.operators.DedupIndex.appendEpoch(
-            batch.sparkSession, ix, epochId, winners, Some(deletes))
-          // bound the index's own metadata as epochs accumulate —
-          // same posture as the table's autoMaintain
-          graft.operators.DedupIndex.autoMaintain(batch.sparkSession, ix)
+          dedupIndexDir.foreach { ix =>
+            graft.operators.DedupIndex.appendEpoch(
+              batch.sparkSession, ix, epochId, winners, Some(deletes))
+            // bound the index's own metadata as epochs accumulate —
+            // same posture as the table's autoMaintain
+            graft.operators.DedupIndex.autoMaintain(batch.sparkSession, ix)
+          }
+          metricsDir.foreach { mx =>
+            graft.operators.MetricsIndex.appendEpoch(
+              batch.sparkSession, mx, epochId, winners, Some(deletes))
+            graft.operators.MetricsIndex.autoMaintain(batch.sparkSession, mx)
+          }
         }
         ()
       }
@@ -119,10 +127,11 @@ object CdcIngest {
                       mode: MergeInto.MergeMode = MergeInto.Auto,
                       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity,
                       statsDir: Option[String] = None,
-                      dedupIndexDir: Option[String] = None): Unit = {
+                      dedupIndexDir: Option[String] = None,
+                      metricsDir: Option[String] = None): Unit = {
     val q = start(spark, feedDir, tableDir, checkpointDir, numBuckets,
       maxFilesPerTrigger, Trigger.AvailableNow(), mode, transform,
-      statsDir, dedupIndexDir = dedupIndexDir)
+      statsDir, dedupIndexDir = dedupIndexDir, metricsDir = metricsDir)
     q.awaitTermination()
   }
 }
