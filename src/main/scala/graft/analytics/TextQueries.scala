@@ -239,6 +239,61 @@ object TextQueries {
           (col("top_cnt") / col("n_grams") <= 0.2).as("keep"))
     }),
 
+    // Training-data op: the FULL Gopher repetition-rule family (t16
+    // covers the 2-gram pair; a real curation run needs all of them):
+    // per doc, the character fraction covered by the most repetition-
+    // covering n-gram for n=2..4 (max over grams of cnt x gram chars —
+    // the most-frequent-gram rule with ties resolved by coverage, which
+    // keeps the metric deterministic) and the character fraction inside
+    // duplicated n-grams for n=5..10, against the standard thresholds
+    // (0.20/0.18/0.16 top; 0.15..0.10 dup). ONE pass: all nine gram
+    // sizes explode together tagged by n, then two narrow hash
+    // aggregates and a width-9 conditional pivot — the t16 shape, x9
+    // fan-out, no window, no join, corpus-scan-count unchanged.
+    "t17_gopher_repetition" -> ((s, d) => {
+      val w = words(col("text"))
+      val gramArrays = (2 to 10).map { n =>
+        when(size(w) >= n, transform(sequence(lit(1), size(w) - n + 1),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", slice(w, i, lit(n))).as("gram"))))
+          .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+      }
+      val wide = documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("n_len"),
+          explode(flatten(array(gramArrays: _*))).as("g"))
+        .select(col("doc_id"), col("n_len"),
+          col("g.n").as("n"), col("g.gram").as("gram"))
+        .groupBy(col("doc_id"), col("n_len"), col("n"), col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"), col("n_len"), col("n"))
+        .agg(max(col("cnt") * length(col("gram"))).as("top_chars"),
+          sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))
+            .otherwise(0L)).as("dup_chars"))
+        .groupBy(col("doc_id"), col("n_len"))
+        .agg(
+          max(when(col("n") === 2, col("top_chars"))).as("tc2"),
+          max(when(col("n") === 3, col("top_chars"))).as("tc3"),
+          max(when(col("n") === 4, col("top_chars"))).as("tc4"),
+          max(when(col("n") === 5, col("dup_chars"))).as("dc5"),
+          max(when(col("n") === 6, col("dup_chars"))).as("dc6"),
+          max(when(col("n") === 7, col("dup_chars"))).as("dc7"),
+          max(when(col("n") === 8, col("dup_chars"))).as("dc8"),
+          max(when(col("n") === 9, col("dup_chars"))).as("dc9"),
+          max(when(col("n") === 10, col("dup_chars"))).as("dc10"))
+      val thrTop = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+      val thrDup = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+        9 -> 0.11, 10 -> 0.10)
+      def frac(c: String) =
+        round(coalesce(col(c), lit(0L)) / col("n_len"), 4)
+      val fracs =
+        (2 to 4).map(n => frac(s"tc$n").as(s"top${n}_char_frac")) ++
+        (5 to 10).map(n => frac(s"dc$n").as(s"dup${n}_char_frac"))
+      val keep =
+        ((2 to 4).map(n => frac(s"tc$n") <= thrTop(n)) ++
+         (5 to 10).map(n => frac(s"dc$n") <= thrDup(n))).reduce(_ && _)
+      wide.select(col("doc_id") +: fracs :+ keep.as("gopher_keep"): _*)
+    }),
+
     // P5 family: case-normalization equality predicate + length guard
     // (reference: ALL-CAPS shouting filter, queries.py:33,114; the
     // corpus is lowercase so the lower() form is the non-degenerate one).
@@ -438,6 +493,50 @@ object TextQueries {
         | round(dup_grams * 1.0 / n_grams, 4) AS dup2gram_frac,
         | (top_cnt * 1.0 / n_grams) <= 0.2 AS keep
         |FROM agg""".stripMargin,
+    "t17_gopher_repetition" ->
+      """WITH g AS (
+        | SELECT doc_id, length(text) AS n_len, t.n AS n,
+        |   unnest(list_transform(
+        |     range(1, greatest(len(string_split(text,' ')) - t.n + 2, 1)),
+        |     i -> array_to_string((string_split(text,' '))[i:i+t.n-1], ' '))) AS gram
+        | FROM documents, range(2, 11) t(n)),
+        |pc AS (SELECT doc_id, n_len, n, gram, count(*) AS cnt
+        |  FROM g GROUP BY 1,2,3,4),
+        |agg AS (SELECT doc_id, n_len, n,
+        |   max(cnt * length(gram)) AS top_chars,
+        |   sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dup_chars
+        | FROM pc GROUP BY 1,2,3),
+        |wide AS (SELECT doc_id, n_len,
+        |   max(CASE WHEN n=2 THEN top_chars END) AS tc2,
+        |   max(CASE WHEN n=3 THEN top_chars END) AS tc3,
+        |   max(CASE WHEN n=4 THEN top_chars END) AS tc4,
+        |   max(CASE WHEN n=5 THEN dup_chars END) AS dc5,
+        |   max(CASE WHEN n=6 THEN dup_chars END) AS dc6,
+        |   max(CASE WHEN n=7 THEN dup_chars END) AS dc7,
+        |   max(CASE WHEN n=8 THEN dup_chars END) AS dc8,
+        |   max(CASE WHEN n=9 THEN dup_chars END) AS dc9,
+        |   max(CASE WHEN n=10 THEN dup_chars END) AS dc10
+        | FROM agg GROUP BY 1,2)
+        |SELECT doc_id,
+        | round(coalesce(tc2,0) * 1.0 / n_len, 4) AS top2_char_frac,
+        | round(coalesce(tc3,0) * 1.0 / n_len, 4) AS top3_char_frac,
+        | round(coalesce(tc4,0) * 1.0 / n_len, 4) AS top4_char_frac,
+        | round(coalesce(dc5,0) * 1.0 / n_len, 4) AS dup5_char_frac,
+        | round(coalesce(dc6,0) * 1.0 / n_len, 4) AS dup6_char_frac,
+        | round(coalesce(dc7,0) * 1.0 / n_len, 4) AS dup7_char_frac,
+        | round(coalesce(dc8,0) * 1.0 / n_len, 4) AS dup8_char_frac,
+        | round(coalesce(dc9,0) * 1.0 / n_len, 4) AS dup9_char_frac,
+        | round(coalesce(dc10,0) * 1.0 / n_len, 4) AS dup10_char_frac,
+        | (round(coalesce(tc2,0) * 1.0 / n_len, 4) <= 0.20
+        |  AND round(coalesce(tc3,0) * 1.0 / n_len, 4) <= 0.18
+        |  AND round(coalesce(tc4,0) * 1.0 / n_len, 4) <= 0.16
+        |  AND round(coalesce(dc5,0) * 1.0 / n_len, 4) <= 0.15
+        |  AND round(coalesce(dc6,0) * 1.0 / n_len, 4) <= 0.14
+        |  AND round(coalesce(dc7,0) * 1.0 / n_len, 4) <= 0.13
+        |  AND round(coalesce(dc8,0) * 1.0 / n_len, 4) <= 0.12
+        |  AND round(coalesce(dc9,0) * 1.0 / n_len, 4) <= 0.11
+        |  AND round(coalesce(dc10,0) * 1.0 / n_len, 4) <= 0.10) AS gopher_keep
+        |FROM wide""".stripMargin,
     "t11_casefold_pred" ->
       """SELECT lang, count(*) AS n FROM documents
         |WHERE text = lower(text) AND length(text) > 5 GROUP BY 1""".stripMargin,
