@@ -79,60 +79,74 @@ object ClusterIndex {
     val Array(cSrc, cDst) = pairs.columns.take(2)
     val p = pairs.select(col(cSrc).as("src"), col(cDst).as("dst"))
     val prior = DedupIndex.committedEpochs(dir).filter(_ < epochId)
-    val delta: DataFrame = prior match {
-      case Nil =>
-        // first epoch: the contracted graph IS the pair graph
-        if (p.isEmpty)
-          spark.createDataFrame(spark.sparkContext
-              .emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("node",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("label",
-                org.apache.spark.sql.types.LongType))))
-        else ConnectedComponents.run(spark, p).labels
-      case _ =>
-        val state = DedupIndex.latestSigs(
-          DedupIndex.readSigs(spark, dir, prior), "node")
-          .select(col("node"), col("label"))
-        // endpoint set of the epoch's edges — epoch-bounded, broadcast
-        val ends = p.select(col("src").as("node"))
-          .unionByName(p.select(col("dst").as("node"))).distinct()
-        val sub = state.join(broadcast(ends), Seq("node"))
-        // contract: endpoint -> stored label, new nodes -> themselves
-        val ls = sub.select(col("node").as("src"), col("label").as("ls"))
-        val ld = sub.select(col("node").as("dst"), col("label").as("ld"))
-        val contracted = p
-          .join(ls, Seq("src"), "left")
-          .join(ld, Seq("dst"), "left")
-          .select(coalesce(col("ls"), col("src")).as("a"),
-            coalesce(col("ld"), col("dst")).as("b"))
-          .filter(col("a") =!= col("b"))
-        if (contracted.isEmpty) {
-          // every edge lands inside an existing component: nothing to
-          // write, but the epoch still commits (exactly-once marker)
-          spark.createDataFrame(spark.sparkContext
-              .emptyRDD[org.apache.spark.sql.Row],
-            state.schema)
-        } else {
-          val cc = ConnectedComponents.run(spark, contracted).labels
-          // old labels whose component got a smaller min, and new nodes
-          val changed = cc.filter(col("node") =!= col("label"))
-          val newIds = ends.join(state, Seq("node"), "left_anti")
-          val newRows = cc.join(broadcast(newIds), Seq("node"))
-          // relabel every member of a merged component: narrow state
-          // scan x broadcast (old label -> new label) map
-          val m = changed
-            .join(state.select(col("node")), Seq("node"), "left_semi")
-            .select(col("node").as("_old"), col("label").as("_new"))
-          val relabeled = state
-            .join(broadcast(m), col("label") === col("_old"))
-            .select(col("node"), col("_new").as("label"))
-          newRows.unionByName(relabeled)
-        }
-    }
-    DedupIndex.appendFrame(dir, epochId,
-      delta.withColumn("_sig_epoch", lit(epochId)))
+    // the persisted intermediates below are read by several consumers
+    // AND by appendFrame's write at the end, so they are released only
+    // after the commit (an evicted block recomputes — slow, never wrong)
+    var hot = List.empty[DataFrame]
+    def keep(df: DataFrame): DataFrame = { hot ::= df.persist(); df }
+    try {
+      val delta: DataFrame = prior match {
+        case Nil =>
+          // first epoch: the contracted graph IS the pair graph
+          if (p.isEmpty)
+            spark.createDataFrame(spark.sparkContext
+                .emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("node",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("label",
+                  org.apache.spark.sql.types.LongType))))
+          else ConnectedComponents.run(spark, p).labels
+        case _ =>
+          // latest-per-node resolution costs a real scan (manifest-epoch
+          // union + LWW groupBy — ~1.5 s at the 250k bench shape) and is
+          // read by four consumers below; same for the epoch's edge and
+          // endpoint frames — persist each once per fold
+          val state = keep(DedupIndex.latestSigs(
+            DedupIndex.readSigs(spark, dir, prior), "node")
+            .select(col("node"), col("label")))
+          val pE = keep(p)
+          // endpoint set of the epoch's edges — epoch-bounded, broadcast
+          val ends = keep(pE.select(col("src").as("node"))
+            .unionByName(pE.select(col("dst").as("node"))).distinct())
+          val sub = state.join(broadcast(ends), Seq("node"))
+          // contract: endpoint -> stored label, new nodes -> themselves
+          val ls = sub.select(col("node").as("src"), col("label").as("ls"))
+          val ld = sub.select(col("node").as("dst"), col("label").as("ld"))
+          // ls/ld are endpoint-bounded (≤ |ends| rows) — broadcast, so
+          // the epoch's edges never shuffle to meet the state
+          val contracted = keep(pE
+            .join(broadcast(ls), Seq("src"), "left")
+            .join(broadcast(ld), Seq("dst"), "left")
+            .select(coalesce(col("ls"), col("src")).as("a"),
+              coalesce(col("ld"), col("dst")).as("b"))
+            .filter(col("a") =!= col("b")))
+          if (contracted.isEmpty) {
+            // every edge lands inside an existing component: nothing to
+            // write, but the epoch still commits (exactly-once marker)
+            spark.createDataFrame(spark.sparkContext
+                .emptyRDD[org.apache.spark.sql.Row],
+              state.schema)
+          } else {
+            val cc = ConnectedComponents.run(spark, contracted).labels
+            // old labels whose component got a smaller min, and new nodes
+            val changed = cc.filter(col("node") =!= col("label"))
+            val newIds = ends.join(state, Seq("node"), "left_anti")
+            val newRows = cc.join(broadcast(newIds), Seq("node"))
+            // relabel every member of a merged component: narrow state
+            // scan x broadcast (old label -> new label) map
+            val m = changed
+              .join(state.select(col("node")), Seq("node"), "left_semi")
+              .select(col("node").as("_old"), col("label").as("_new"))
+            val relabeled = state
+              .join(broadcast(m), col("label") === col("_old"))
+              .select(col("node"), col("_new").as("label"))
+            newRows.unionByName(relabeled)
+          }
+      }
+      DedupIndex.appendFrame(dir, epochId,
+        delta.withColumn("_sig_epoch", lit(epochId)))
+    } finally hot.foreach(_.unpersist(blocking = false))
   }
 
   /** [[DedupIndex.autoMaintain]] with the cluster key — bounds manifest
