@@ -115,11 +115,22 @@ object Bench {
       s"""{"role":"${if (i == 0) "warmup" else "warm"}","control_sec":${f"$c%.2f"},"backfill_sec":${f"${r.backfillSec}%.2f"},"tail_sec":${f"${r.tailSec}%.2f"},"tail_small_sec":${f"${r.tailSmallSec}%.2f"},"backfill_events_per_sec":${r.backfillEps.round}}"""
     }.mkString("[", ",", "]")
 
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","query_control_sec":${f"$queryControl%.2f"},"queries":$qs,"sf":"$sfDir","ingest_warm_median_events_per_sec":${warmMedianEps.round},"ingest_warm_median_tail_events_per_sec":${warmMedianTailEps.round},"ingest_events_per_sec":${ing.backfillEps.round},"ingest_tail_events_per_sec":${ing.tailEps.round},"ingest_tail_small_sec":${f"${ing.tailSmallSec}%.2f"},"ingest_tail_small_mor":${ing.tailSmallMor},"ingest_events":${ing.events},"ingest_backfill_sec":${f"${ing.backfillSec}%.2f"},"ingest_trials":$trialsJson,"changes_since_clean_sec":${f"${ing.changesCleanSec}%.2f"},"changes_since_mor_sec":${f"${ing.changesMorSec}%.2f"},"changes_rows":${ing.changesRows},"changes_mor_rows":${ing.changesMorRows},"read_live_sec":${f"${ing.readLiveSec}%.2f"},"read_live_mor_sec":${f"${ing.readLiveOverlaySec}%.2f"},"cores":$cpus}"""
-    // stdout (bare line — build.sbt pins outputStrategy so sbt does not
-    // prefix it) AND a file, so the driver can parse either
+    val scalars = s""""sf":"$sfDir","ingest_warm_median_events_per_sec":${warmMedianEps.round},"ingest_warm_median_tail_events_per_sec":${warmMedianTailEps.round},"ingest_events_per_sec":${ing.backfillEps.round},"ingest_tail_events_per_sec":${ing.tailEps.round},"ingest_tail_small_sec":${f"${ing.tailSmallSec}%.2f"},"ingest_tail_small_mor":${ing.tailSmallMor},"ingest_events":${ing.events},"ingest_backfill_sec":${f"${ing.backfillSec}%.2f"},"changes_since_clean_sec":${f"${ing.changesCleanSec}%.2f"},"changes_since_mor_sec":${f"${ing.changesMorSec}%.2f"},"changes_rows":${ing.changesRows},"changes_mor_rows":${ing.changesMorRows},"read_live_sec":${f"${ing.readLiveSec}%.2f"},"read_live_mor_sec":${f"${ing.readLiveOverlaySec}%.2f"},"cores":$cpus"""
+    // full record (long query names + per-trial walls) — committed to
+    // the repo as the round's authoritative benchmark artifact
+    val full = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","query_control_sec":${f"$queryControl%.2f"},"queries":$qs,$scalars,"ingest_trials":$trialsJson}"""
+    // stdout line: the driver's artifact keeps only the LAST ~2 KB of
+    // output (BENCH_r04's query map was truncated at 2.8 KB), so the
+    // printed line uses the short unique query ids (q14_daily_active ->
+    // q14; prefixes are unique across the suite) and points at
+    // bench.json for trial detail. build.sbt pins outputStrategy so sbt
+    // does not prefix the line.
+    val qsShort = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","query_control_sec":${f"$queryControl%.2f"},"queries":$qsShort,$scalars,"full":"bench.json"}"""
     println(line)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")
     spark.stop()
   }
 }
