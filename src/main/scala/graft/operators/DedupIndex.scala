@@ -26,9 +26,11 @@ import graft.analytics.DedupQueries
   *     swapped atomically; a crashed append leaves only an orphan sig
   *     dir the retry overwrites, and a redelivered epoch is a no-op.
   *   sigs/epoch=N | sigs/compact-A-B — (doc_id, mh_0..mh_31) parquet;
-  *     one dir per epoch until [[compact]] folds contiguous epochs into
-  *     one range entry (10^4 ingest epochs must not mean 10^4 dirs —
-  *     the same metadata-growth bound the lake table enforces);
+  *     one dir per epoch until [[autoMaintain]]'s size-TIERED merges
+  *     ([[compactRange]]) fold adjacent runs into range entries (10^4
+  *     ingest epochs must not mean 10^4 dirs — the lake table's
+  *     metadata-growth bound — at amortized O(log lifetime) rewrites
+  *     per signature, never a full-prefix rewrite per crossing);
   *     [[vacuum]] reclaims superseded dirs after a grace period so
   *     pinned-path readers of the pre-compaction layout finish clean.
   *   buckets/epoch=N/sb=K | buckets/compact-A-B/sb=K — the entry's
@@ -38,10 +40,12 @@ import graft.analytics.DedupQueries
   *     epoch side broadcast — the index side of a fold crosses ZERO
   *     exchanges (the lake table's url-hash directory-bucket trick,
   *     applied to the signature index; no metastore needed).
-  *   resigned/epoch=N — (doc_id, last) for docs epoch N re-signed or
-  *     tombstoned that the index had already seen: the fold's broadcast
-  *     supersession filter, replacing a full-index latest-per-doc
-  *     shuffle. Bounded by re-sign traffic, usually empty.
+  *   resigned/epoch=N | resigned/compact-A-B — (doc_id, last) for docs
+  *     an entry's epochs re-signed or tombstoned that the index had
+  *     already seen: the fold's broadcast supersession filter,
+  *     replacing a full-index latest-per-doc shuffle. Bounded by
+  *     re-sign traffic, usually empty; a tiered-merged range carries
+  *     its epochs' combined list at the mirror path.
   *
   * Equivalence: signatures are per-doc and epoch-independent, and both
   * the batch op and this index generate candidates from the SAME band
@@ -282,50 +286,95 @@ object DedupIndex {
   }
 
   /** Fold all entries STRICTLY OLDER than the newest committed epoch
-    * into ONE range entry (one merged parquet dir): 10^4 ingest epochs
-    * must not mean 10^4 dirs to list and open per fold. The newest
-    * epoch keeps its own entry so the two read shapes this engine asks
-    * for — "the fresh epoch" and "all strictly-older epochs" — always
-    * resolve even on a sink that autoMaintains after every append
-    * (round-4 advice: folding the just-appended epoch broke
-    * retrospective [[epochPairs]] on it). Requires the folded range to
-    * be gap-free (streaming epochs are; refuses loudly otherwise rather
-    * than claiming uncommitted ids). Superseded dirs stay on disk for
-    * in-flight pinned-path readers until [[vacuum]]. Returns true if a
-    * compaction happened.
+    * into ONE range entry (one merged parquet dir) — the FULL prefix
+    * compaction: because no entry older than the folded range can
+    * exist, supersession is baked into storage outright (tombstoned
+    * docs are dropped physically and the range needs no resigned/
+    * list). The newest epoch keeps its own entry so the two read
+    * shapes this engine asks for — "the fresh epoch" and "all
+    * strictly-older epochs" — always resolve even on a sink that
+    * autoMaintains after every append (round-4 advice: folding the
+    * just-appended epoch broke retrospective [[epochPairs]] on it).
+    * Requires the folded range to be gap-free (streaming epochs are;
+    * refuses loudly otherwise rather than claiming uncommitted ids).
+    * Superseded dirs stay on disk for in-flight pinned-path readers
+    * until [[vacuum]]. Returns true if a compaction happened.
+    *
+    * This is the right call for an explicit "squash my history" —
+    * steady-state maintenance uses [[autoMaintain]]'s TIERED merges
+    * instead, because a full rewrite per threshold crossing is
+    * O(corpus) maintenance at stream lifetime scale.
     */
   def compact(spark: SparkSession, dir: String,
               keyCol: String = "doc_id"): Boolean = {
-    val m = loadManifest(dir)
-    val sorted = m.entries.sortBy(_.maxEpoch)
+    val sorted = loadManifest(dir).entries.sortBy(_.maxEpoch)
     if (sorted.size <= 2) return false // < 2 entries strictly below newest
-    val newest = sorted.last
-    val olders = sorted.init
-    val ids = olders.flatMap(e => e.minEpoch to e.maxEpoch).sorted
+    compactRange(spark, dir, sorted.head.minEpoch,
+      sorted.init.last.maxEpoch, keyCol)
+  }
+
+  /** TIERED merge: fold the contiguous committed entries covering
+    * exactly epochs [lo, hi] into one range entry, leaving entries
+    * outside [lo, hi] untouched — the LSM-style building block that
+    * keeps maintenance cost amortized O(log lifetime) rewrites per
+    * signature instead of [[compact]]'s full-prefix rewrite (which is
+    * O(corpus) every threshold crossing — the one remaining
+    * corpus-sized cost a sink-maintained index had).
+    *
+    * Correctness of a MID-RANGE merge (lo above the global min) needs
+    * two things a full-prefix fold gets for free:
+    *  - TOMBSTONES are retained (only each doc's latest-in-range row
+    *    survives, but an all-null row stays): an entry older than `lo`
+    *    may still hold the doc's live signature, and dropping the
+    *    tombstone would resurrect it;
+    *  - the merged range carries a combined resigned/ list (max `last`
+    *    per doc over its epochs' lists): rows in entries OLDER than
+    *    `lo` that were superseded by a re-sign inside [lo, hi] are
+    *    dropped at fold time by that list ([[dropSuperseded]]), and
+    *    the broadcast-filter path never consults per-epoch lists of a
+    *    merged range again.
+    * When lo IS the global min, both full-prefix simplifications apply
+    * (tombstones dropped, no list written).
+    */
+  def compactRange(spark: SparkSession, dir: String, lo: Long, hi: Long,
+                   keyCol: String = "doc_id"): Boolean = {
+    val m = loadManifest(dir)
+    val sorted = m.entries.sortBy(_.minEpoch)
+    require(sorted.nonEmpty, s"compactRange on an empty index at $dir")
+    require(hi < sorted.last.maxEpoch,
+      s"compactRange [$lo,$hi] must leave the newest epoch " +
+        s"(${sorted.last.maxEpoch}) its own entry")
+    val run = sorted.filter(e => e.minEpoch >= lo && e.maxEpoch <= hi)
+    require(run.nonEmpty && run.head.minEpoch == lo &&
+      run.last.maxEpoch == hi &&
+      sorted.forall(e => e.maxEpoch < lo || e.minEpoch > hi ||
+        run.contains(e)),
+      s"[$lo,$hi] does not align to entry boundaries: ${m.entries}")
+    if (run.size < 2) return false
+    val ids = run.flatMap(e => e.minEpoch to e.maxEpoch).sorted
     require(ids == (ids.min to ids.max),
-      s"compact needs a gap-free epoch range below the newest, got $ids")
-    val rel = s"sigs/compact-${ids.min}-${ids.max}"
+      s"compactRange needs a gap-free epoch range, got $ids")
+    val atPrefix = lo == sorted.head.minEpoch
+    val rel = s"sigs/compact-$lo-$hi"
     val tmp = sigsRoot(dir).resolve(s".tmp-compact-${m.version + 1}")
-    // physical supersession: only each doc's LATEST signature in the
-    // folded range survives (readers resolve latest anyway; compaction
-    // makes it storage truth), and docs whose latest is a TOMBSTONE
-    // (all payload columns null) are dropped outright — safe because
-    // the fold covers the full strictly-older prefix, so no yet-older
-    // entry can resurrect a stale signature
+    // physical supersession WITHIN the range: only each doc's latest
+    // row in [lo, hi] survives (rows keep `_sig_epoch`, so global LWW
+    // still resolves against entries outside the range)
     val folded = latestSigs(
-      spark.read.parquet(olders.map(e => s"$dir/${e.path}"): _*), keyCol)
+      spark.read.parquet(run.map(e => s"$dir/${e.path}"): _*), keyCol)
     val payload = folded.columns.filterNot(c => c == keyCol || c == "_sig_epoch")
-    folded
-      .filter(!payload.map(col(_).isNull).reduce(_ && _))
-      .write.mode("overwrite").parquet(tmp.toString)
+    val kept =
+      if (atPrefix) // no older entry can resurrect a tombstoned doc
+        folded.filter(!payload.map(col(_).isNull).reduce(_ && _))
+      else folded
+    kept.write.mode("overwrite").parquet(tmp.toString)
     val dst = Paths.get(dir, rel)
     graft.FsUtil.deleteTree(dst)
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
-    // minhash indexes also fold the buckets/ side table (from the
-    // already-folded sigs — supersession and tombstone drops are baked
-    // in, so the folded range needs no resigned/ lists). Other
-    // modalities on this shared layer (simhash/embedding/shingle/
-    // cluster state) carry no buckets side.
+    // minhash indexes also fold the buckets/ side table (tombstone rows
+    // produce no bucket rows). Other modalities on this shared layer
+    // (simhash/embedding/shingle/cluster/metrics state) carry no
+    // buckets side.
     if (keyCol == "doc_id" && folded.columns.contains("mh_0")) {
       val bRel = rel.replaceFirst("^sigs/", "buckets/")
       val bTmp = bucketsRoot(dir).resolve(s".tmp-compact-${m.version + 1}")
@@ -336,27 +385,74 @@ object DedupIndex {
       graft.FsUtil.deleteTree(bDst)
       Files.move(bTmp, bDst, StandardCopyOption.ATOMIC_MOVE)
     }
-    commitManifest(dir, IndexManifest(m.version + 1,
-      List(IndexEntry(ids.min, ids.max, rel), newest)), m.version)
+    // mid-range merge: carry the combined resigned/ list forward
+    if (!atPrefix) {
+      val lists = run
+        .map(e => Paths.get(dir, e.path.replaceFirst("^sigs/", "resigned/")))
+        .filter(Files.exists(_)).map(_.toString)
+      if (lists.nonEmpty) {
+        val rTmp = resignedRoot(dir).resolve(s".tmp-compact-${m.version + 1}")
+        Files.createDirectories(resignedRoot(dir))
+        spark.read.parquet(lists: _*)
+          .groupBy(col("doc_id")).agg(max(col("last")).as("last"))
+          .write.mode("overwrite").parquet(rTmp.toString)
+        val rDst = Paths.get(dir, rel.replaceFirst("^sigs/", "resigned/"))
+        graft.FsUtil.deleteTree(rDst)
+        Files.move(rTmp, rDst, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    val merged = (sorted.filterNot(run.contains) :+
+      IndexEntry(lo, hi, rel)).sortBy(_.minEpoch)
+    commitManifest(dir, IndexManifest(m.version + 1, merged.toList),
+      m.version)
     true
   }
 
+  /** Bytes under an entry's sig dir — the tier key for [[autoMaintain]]
+    * (directory walk, no Spark job).
+    */
+  private def entryBytes(dir: String, e: IndexEntry): Long = {
+    val p = Paths.get(dir, e.path)
+    if (!Files.exists(p)) 0L
+    else graft.FsUtil.listDir(p)(_
+      .filter(Files.isRegularFile(_)).map(Files.size).sum)
+  }
+
   /** Threshold-driven upkeep for a sink-maintained index (the
-    * [[graft.table.Maintenance.autoMaintain]] analog): compact once the
-    * manifest carries more than `maxEntries` (and the range is
-    * gap-free), then vacuum superseded dirs past `vacuumGraceMs`.
-    * Bounds both the dir count an epoch fold must open and the
-    * manifest's entry list, with no human in the loop.
+    * [[graft.table.Maintenance.autoMaintain]] analog): once the
+    * manifest carries more than `maxEntries`, merge the cheapest
+    * adjacent run of `mergeFactor` entries strictly below the newest
+    * epoch (smallest combined sig bytes — SIZE-TIERED, so steady-state
+    * maintenance folds the newest few small epochs and touches a big
+    * compacted range only when enough peers its size have accumulated:
+    * amortized O(log lifetime) rewrites per signature, vs the full
+    * prefix rewrite per crossing this policy replaces, which was
+    * O(corpus) maintenance at stream cadence). Then expire old
+    * manifests and vacuum superseded dirs past `vacuumGraceMs`. Bounds
+    * both the dir count an epoch fold must open and the manifest's
+    * entry list, with no human in the loop.
     */
   def autoMaintain(spark: SparkSession, dir: String, maxEntries: Int = 16,
                    vacuumGraceMs: Long = 3600000L,
                    keepManifests: Int = 64,
-                   keyCol: String = "doc_id"): (Boolean, Int) = {
+                   keyCol: String = "doc_id",
+                   mergeFactor: Int = 4): (Boolean, Int) = {
+    require(mergeFactor >= 2, s"mergeFactor must be >= 2, got $mergeFactor")
     val m = loadManifest(dir)
-    val olders = m.entries.sortBy(_.maxEpoch).dropRight(1)
-    val ids = olders.flatMap(e => e.minEpoch to e.maxEpoch).sorted
-    val compacted = m.entries.size > maxEntries && olders.size >= 2 &&
-      ids == (ids.min to ids.max) && compact(spark, dir, keyCol)
+    val olders = m.entries.sortBy(_.minEpoch).dropRight(1)
+    var compacted = false
+    if (m.entries.size > maxEntries && olders.size >= 2) {
+      val k = math.min(mergeFactor, olders.size)
+      val bytes = olders.map(e => e -> entryBytes(dir, e)).toMap
+      val runs = olders.sliding(k).filter(r =>
+        r.zip(r.tail).forall { case (a, b) => b.minEpoch == a.maxEpoch + 1 })
+        .toList
+      if (runs.nonEmpty) {
+        val run = runs.minBy(_.map(bytes).sum)
+        compacted = compactRange(spark, dir, run.head.minEpoch,
+          run.last.maxEpoch, keyCol)
+      }
+    }
     expireManifests(dir, keepManifests)
     (compacted, vacuum(dir, vacuumGraceMs))
   }
@@ -389,14 +485,14 @@ object DedupIndex {
   def vacuum(dir: String, graceMs: Long = 3600000L): Int = {
     if (!Files.exists(sigsRoot(dir))) return 0
     val entries = loadManifest(dir).entries
-    // referenced state: manifest sig paths, their buckets/ mirrors, and
-    // the resigned/ lists of SINGLETON entries (a compacted range bakes
-    // its supersession into storage, so its lists are reclaimable)
-    val referenced = (entries.map(e => Paths.get(dir, e.path)) ++
-      entries.map(e =>
-        Paths.get(dir, e.path.replaceFirst("^sigs/", "buckets/"))) ++
-      entries.filter(e => e.minEpoch == e.maxEpoch)
-        .map(e => Paths.get(dir, s"resigned/epoch=${e.minEpoch}")))
+    // referenced state: manifest sig paths plus their buckets/ and
+    // resigned/ mirrors (a tiered-merged range carries a combined
+    // resigned list; a full-prefix compaction has no mirror — nothing
+    // to keep)
+    val referenced = entries
+      .flatMap(e => Seq(Paths.get(dir, e.path),
+        Paths.get(dir, e.path.replaceFirst("^sigs/", "buckets/")),
+        Paths.get(dir, e.path.replaceFirst("^sigs/", "resigned/"))))
       .map(_.toAbsolutePath.normalize).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
@@ -453,17 +549,21 @@ object DedupIndex {
     sel
   }
 
-  /** The union of prior singleton epochs' resigned/ lists relevant to a
-    * fold of `epochId` — (doc_id, last) rows marking docs re-signed or
+  /** The union of prior entries' resigned/ lists relevant to a fold of
+    * `epochId` — (doc_id, last) rows marking docs re-signed or
     * tombstoned at epoch `last`. Usually tiny (a web feed re-signs the
     * handful of urls that changed); ALWAYS broadcastable, because its
-    * size is bounded by re-sign traffic, not corpus size. Compacted
-    * ranges need no lists: compaction bakes supersession into storage.
+    * size is bounded by re-sign traffic, not corpus size. Each entry's
+    * list lives at the resigned/ mirror of its sigs path: singleton
+    * epochs write theirs at append, [[compactRange]] carries a merged
+    * range's combined list forward, and a full-PREFIX compaction has
+    * none (supersession baked into storage — the mirror simply does
+    * not exist and is skipped).
     */
   private def resignedLists(spark: SparkSession, dir: String,
                             entries: Seq[IndexEntry]): Option[DataFrame] = {
-    val paths = entries.filter(e => e.minEpoch == e.maxEpoch)
-      .map(e => Paths.get(dir, s"resigned/epoch=${e.minEpoch}"))
+    val paths = entries
+      .map(e => Paths.get(dir, e.path.replaceFirst("^sigs/", "resigned/")))
       .filter(Files.exists(_)).map(_.toString)
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
