@@ -438,19 +438,27 @@ object DedupIndex {
                    keyCol: String = "doc_id",
                    mergeFactor: Int = 4): (Boolean, Int) = {
     require(mergeFactor >= 2, s"mergeFactor must be >= 2, got $mergeFactor")
-    val m = loadManifest(dir)
-    val olders = m.entries.sortBy(_.minEpoch).dropRight(1)
+    // loop: a sink that maintains per epoch does at most one merge per
+    // call, but a caller that maintains rarely may arrive far above the
+    // threshold — keep merging cheapest runs until bounded
     var compacted = false
-    if (m.entries.size > maxEntries && olders.size >= 2) {
-      val k = math.min(mergeFactor, olders.size)
-      val bytes = olders.map(e => e -> entryBytes(dir, e)).toMap
-      val runs = olders.sliding(k).filter(r =>
-        r.zip(r.tail).forall { case (a, b) => b.minEpoch == a.maxEpoch + 1 })
-        .toList
-      if (runs.nonEmpty) {
-        val run = runs.minBy(_.map(bytes).sum)
-        compacted = compactRange(spark, dir, run.head.minEpoch,
-          run.last.maxEpoch, keyCol)
+    var progress = true
+    while (progress) {
+      progress = false
+      val m = loadManifest(dir)
+      val olders = m.entries.sortBy(_.minEpoch).dropRight(1)
+      if (m.entries.size > maxEntries && olders.size >= 2) {
+        val k = math.min(mergeFactor, olders.size)
+        val bytes = olders.map(e => e -> entryBytes(dir, e)).toMap
+        val runs = olders.sliding(k).filter(r =>
+          r.zip(r.tail).forall { case (a, b) => b.minEpoch == a.maxEpoch + 1 })
+          .toList
+        if (runs.nonEmpty) {
+          val run = runs.minBy(_.map(bytes).sum)
+          progress = compactRange(spark, dir, run.head.minEpoch,
+            run.last.maxEpoch, keyCol)
+          compacted ||= progress
+        }
       }
     }
     expireManifests(dir, keepManifests)
