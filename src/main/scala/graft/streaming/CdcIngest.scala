@@ -52,6 +52,16 @@ object CdcIngest {
     * DedupIndex resolves latest-per-doc at read, compaction makes it
     * storage truth).
     *
+    * `clusterIndexDir` (requires `dedupIndexDir`), when set, maintains
+    * the DUP-CLUSTER STATE ([[graft.operators.ClusterIndex]]) from the
+    * same epoch: the epoch's candidate pairs against the signature
+    * index fold into the persisted (node → label) table, so cluster
+    * labels are always current without ever re-running connected
+    * components over history. Clusters form over the signature
+    * CANDIDATE graph (what the sink maintains); a pipeline needing the
+    * exact-Jaccard graph clusters offline via [[graft.operators
+    * .ShingleIndex]] + ClusterIndex (the dd13 shape).
+    *
     * All sinks are independently epoch-idempotent, so a crash between
     * them replays only the one(s) that missed.
     */
@@ -64,7 +74,11 @@ object CdcIngest {
             statsDir: Option[String] = None,
             feedFormat: String = "parquet",
             dedupIndexDir: Option[String] = None,
-            metricsDir: Option[String] = None): StreamingQuery = {
+            metricsDir: Option[String] = None,
+            clusterIndexDir: Option[String] = None): StreamingQuery = {
+    require(clusterIndexDir.isEmpty || dedupIndexDir.nonEmpty,
+      "clusterIndexDir needs dedupIndexDir: the maintained clusters fold " +
+        "the signature index's per-epoch candidate pairs")
     // WAL archive format: parquet (default) or JSONL segments — binary
     // html rides base64 through JSON and round-trips byte-identically
     // (TailModeSpec). Anything else (csv, text) cannot carry the binary
@@ -102,6 +116,19 @@ object CdcIngest {
           dedupIndexDir.foreach { ix =>
             graft.operators.DedupIndex.appendEpoch(
               batch.sparkSession, ix, epochId, winners, Some(deletes))
+            // maintained dup-cluster state folds the epoch's candidate
+            // pairs BEFORE index maintenance (the fresh epoch always has
+            // its own entry then); clusters form over the signature
+            // candidate graph the sink already maintains — a pipeline
+            // needing the EXACT-pair graph clusters offline via
+            // ShingleIndex + ClusterIndex (the dd13 shape)
+            clusterIndexDir.foreach { cl =>
+              graft.operators.ClusterIndex.foldEpoch(batch.sparkSession,
+                cl, epochId, graft.operators.DedupIndex.epochPairs(
+                  batch.sparkSession, ix, epochId)
+                  .select(col("doc_a"), col("doc_b")))
+              graft.operators.ClusterIndex.autoMaintain(batch.sparkSession, cl)
+            }
             // bound the index's own metadata as epochs accumulate —
             // same posture as the table's autoMaintain
             graft.operators.DedupIndex.autoMaintain(batch.sparkSession, ix)
@@ -128,10 +155,12 @@ object CdcIngest {
                       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity,
                       statsDir: Option[String] = None,
                       dedupIndexDir: Option[String] = None,
-                      metricsDir: Option[String] = None): Unit = {
+                      metricsDir: Option[String] = None,
+                      clusterIndexDir: Option[String] = None): Unit = {
     val q = start(spark, feedDir, tableDir, checkpointDir, numBuckets,
       maxFilesPerTrigger, Trigger.AvailableNow(), mode, transform,
-      statsDir, dedupIndexDir = dedupIndexDir, metricsDir = metricsDir)
+      statsDir, dedupIndexDir = dedupIndexDir, metricsDir = metricsDir,
+      clusterIndexDir = clusterIndexDir)
     q.awaitTermination()
   }
 }

@@ -73,6 +73,41 @@ class StreamingDedupIndexSpec extends SparkSpec {
     assert(DedupIndex.readSigs(spark, s"$base/ix", epochs).count() === sigCount)
   }
 
+  test("sink-maintained cluster state == batch CC over the cumulative candidate graph") {
+    val base = tmpDir("sdix-cl")
+    val events = eventsDf(50)
+    FeedGen.appendSegment(spark, s"$base/feed",
+      events.filter(col("seq") < 25), "s0")
+    FeedGen.appendSegment(spark, s"$base/feed",
+      events.filter(col("seq") >= 25), "s1")
+    CdcIngest.runAvailableNow(spark, s"$base/feed", s"$base/table",
+      s"$base/ckpt", numBuckets = 4, maxFilesPerTrigger = Some(1),
+      dedupIndexDir = Some(s"$base/ix"),
+      clusterIndexDir = Some(s"$base/cl"))
+    val epochs = DedupIndex.committedEpochs(s"$base/cl")
+    assert(epochs.size >= 2, s"expected >=2 cluster epochs, got $epochs")
+    val labels = graft.operators.ClusterIndex
+      .readLabels(spark, s"$base/cl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch oracle: CC over the SAME cumulative candidate graph the
+    // sink folded (union of per-epoch index pairs == batch dd04 graph,
+    // pinned by the test above)
+    val batchLabels = graft.operators.ConnectedComponents.run(spark,
+        graft.analytics.DedupQueries.minhashLshPairs(docsOf(events))
+          .select(col("doc_a"), col("doc_b"))).labels
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchLabels.nonEmpty, "corpus must cluster")
+    assert(labels === batchLabels)
+    graft.analytics.SessionCaches.release(spark)
+
+    // checkpoint replay with nothing new: no new cluster epochs
+    CdcIngest.runAvailableNow(spark, s"$base/feed", s"$base/table",
+      s"$base/ckpt", numBuckets = 4, maxFilesPerTrigger = Some(1),
+      dedupIndexDir = Some(s"$base/ix"),
+      clusterIndexDir = Some(s"$base/cl"))
+    assert(DedupIndex.committedEpochs(s"$base/cl") === epochs)
+  }
+
   test("a deleted doc is tombstoned: it stops pairing, and a re-add revives it") {
     val base = tmpDir("sdix-del")
     val dir = s"$base/ix"
