@@ -89,8 +89,14 @@ object BucketedFoldBench {
       .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
     def docs = Tables.documents(spark, corpusDir)
     def pct = pmod(col("doc_id") / densifyX, lit(100))
-    val histHalf = docs.filter(pct < 45)
-    val histFull = docs.filter(pct < 90)
+    // history sizes are env-tunable (percent of the corpus below the
+    // epoch slice): a wider spread separates the index-sized shuffle
+    // growth curves more clearly
+    val histA = sys.env.getOrElse("SPARK_GRAFT_HIST_A", "45").toInt
+    val histB = sys.env.getOrElse("SPARK_GRAFT_HIST_B", "90").toInt
+    require(histA < histB && histB <= 90)
+    val histHalf = docs.filter(pct < histA)
+    val histFull = docs.filter(pct < histB)
     val ep5 = docs.filter(pct >= 90 && pct < 95)
 
     def build(hist: org.apache.spark.sql.DataFrame): String = {
@@ -133,7 +139,7 @@ object BucketedFoldBench {
         s"bucketed/legacy folds disagree: $bHalf vs $lHalf, $bFull vs $lFull")
       def j(t: Trial) =
         s"""{"sec":${f"${t.wall}%.2f"},"shuffle_read_mb":${t.readMb},"shuffle_write_mb":${t.writeMb}}"""
-      println(s"""{"metric":"bucketed_fold","sf":"$sfDir","densify_x":$densifyX,"docs":$nDocs,"cores":$cores,"pairs_half":${bHalf.pairs},"pairs_full":${bFull.pairs},"bucketed_half":${j(bHalf)},"bucketed_full":${j(bFull)},"legacy_half":${j(lHalf)},"legacy_full":${j(lFull)},"controls_sec":[${f"$c1%.2f"},${f"$c2%.2f"},${f"$c3%.2f"},${f"$c4%.2f"}],"bucketed_shuffle_growth":${f"${bFull.writeMb.toDouble / math.max(bHalf.writeMb, 1L)}%.2f"},"legacy_shuffle_growth":${f"${lFull.writeMb.toDouble / math.max(lHalf.writeMb, 1L)}%.2f"}}""")
+      println(s"""{"metric":"bucketed_fold","sf":"$sfDir","densify_x":$densifyX,"docs":$nDocs,"cores":$cores,"hist_pct":[$histA,$histB],"pairs_half":${bHalf.pairs},"pairs_full":${bFull.pairs},"bucketed_half":${j(bHalf)},"bucketed_full":${j(bFull)},"legacy_half":${j(lHalf)},"legacy_full":${j(lFull)},"controls_sec":[${f"$c1%.2f"},${f"$c2%.2f"},${f"$c3%.2f"},${f"$c4%.2f"}],"bucketed_shuffle_growth":${f"${bFull.readMb.toDouble / math.max(bHalf.readMb, 1L)}%.2f"},"legacy_shuffle_growth":${f"${lFull.readMb.toDouble / math.max(lHalf.readMb, 1L)}%.2f"}}""")
     } finally {
       graft.FsUtil.deleteTree(root)
       spark.stop()
