@@ -63,20 +63,24 @@ object ScalingBench {
       else System.getProperty("java.io.tmpdir"))
     java.nio.file.Files.createDirectories(trialBase)
 
+    // inline platform control per trial (round-4 methodology): the
+    // control is core-count-invariant on a quiet host, so readers can
+    // control-normalize a drifting N vs 4N pair from the artifact alone
     val times = (1 to trials).map { t =>
+      val control = PlatformControl.run(spark)
       val base = java.nio.file.Files.createTempDirectory(trialBase, s"graft-scale-$t")
       val t0 = System.nanoTime()
       CdcIngest.runAvailableNow(spark, feedDir, s"$base/table", s"$base/ckpt",
         numBuckets = 64)
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[scaling] trial $t: $sec%.2f s")
+      System.err.println(f"[scaling] trial $t: $sec%.2f s (control $control%.2f s)")
       // each trial leaves a full ingested table on RAM-backed tmpfs —
       // delete it before the next trial or large-n runs exhaust /dev/shm
       graft.FsUtil.deleteTree(base)
-      sec
+      (sec, control)
     }
-    val best = times.min
-    println(s"""{"metric":"scaling_backfill","cores":$cores,"events":$n,"trials":[${times.map(x => f"$x%.2f").mkString(",")}],"best_sec":${f"$best%.2f"},"best_events_per_sec":${(n / best).round}}""")
+    val best = times.map(_._1).min
+    println(s"""{"metric":"scaling_backfill","cores":$cores,"events":$n,"trials":[${times.map(x => f"${x._1}%.2f").mkString(",")}],"controls":[${times.map(x => f"${x._2}%.2f").mkString(",")}],"best_sec":${f"$best%.2f"},"best_events_per_sec":${(n / best).round}}""")
     spark.stop()
   }
 }
