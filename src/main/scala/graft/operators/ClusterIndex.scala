@@ -84,6 +84,12 @@ object ClusterIndex {
     // after the commit (an evicted block recomputes — slow, never wrong)
     var hot = List.empty[DataFrame]
     def keep(df: DataFrame): DataFrame = { hot ::= df.persist(); df }
+    // CC's result rides in persisted (ConnectedComponents.run adopts it
+    // into the caller session's release scope) — but in a STREAMING
+    // sink that session is the per-stream clone, whose scope nobody
+    // releases; own the unpersist here so a fold leaks nothing
+    // regardless of which session ran it
+    def ownCc(df: DataFrame): DataFrame = { hot ::= df; df }
     try {
       val delta: DataFrame = prior match {
         case Nil =>
@@ -96,7 +102,7 @@ object ClusterIndex {
                   org.apache.spark.sql.types.LongType),
                 org.apache.spark.sql.types.StructField("label",
                   org.apache.spark.sql.types.LongType))))
-          else ConnectedComponents.run(spark, p).labels
+          else ownCc(ConnectedComponents.run(spark, p).labels)
         case _ =>
           // latest-per-node resolution costs a real scan (manifest-epoch
           // union + LWW groupBy — ~1.5 s at the 250k bench shape) and is
@@ -128,7 +134,7 @@ object ClusterIndex {
                 .emptyRDD[org.apache.spark.sql.Row],
               state.schema)
           } else {
-            val cc = ConnectedComponents.run(spark, contracted).labels
+            val cc = ownCc(ConnectedComponents.run(spark, contracted).labels)
             // old labels whose component got a smaller min, and new nodes
             val changed = cc.filter(col("node") =!= col("label"))
             val newIds = ends.join(state, Seq("node"), "left_anti")
