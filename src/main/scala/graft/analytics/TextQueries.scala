@@ -251,23 +251,41 @@ object TextQueries {
     // aggregates and a width-9 conditional pivot — the t16 shape, x9
     // fan-out, no window, no join, corpus-scan-count unchanged.
     "t17_gopher_repetition" -> ((s, d) => {
-      val w = words(col("text"))
+      // Two performance rules learned the hard way here (18.6 s -> ~2 s
+      // at sf0.1): (1) NEVER reference a derived expression inside a
+      // transform() lambda — it re-evaluates per ELEMENT (the words
+      // split was running once per gram), so words/word-hashes/word-
+      // lengths materialize as columns first; (2) grams are identified
+      // by a hash of their WORD-HASH tuple and their char length by a
+      // sum of word lengths + separators — no gram string is ever
+      // built, and the count exchange carries fixed-width rows (the
+      // dd03 hashing tradeoff, 2^-64 within-doc collision odds,
+      // oracle-checked: length(concat_ws(" ", ws)) ==
+      // sum(length(w)) + n - 1 by construction).
+      val wv = words(col("text"))
+      val base = documents(s, d).select(col("doc_id"),
+        length(col("text")).as("n_len"),
+        transform(wv, x => xxhash64(x)).as("wh"),
+        transform(wv, x => length(x)).as("wl"))
       val gramArrays = (2 to 10).map { n =>
-        when(size(w) >= n, transform(sequence(lit(1), size(w) - n + 1),
-          i => struct(lit(n).as("n"),
-            concat_ws(" ", slice(w, i, lit(n))).as("gram"))))
-          .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+        when(size(col("wh")) >= n,
+          transform(sequence(lit(1), size(col("wh")) - n + 1), i =>
+            struct(lit(n).as("n"),
+              xxhash64((0 until n).map(k =>
+                element_at(col("wh"), i + k)): _*).as("h"),
+              ((0 until n).map(k => element_at(col("wl"), i + k))
+                .reduce(_ + _) + lit(n - 1)).as("len"))))
+          .otherwise(array().cast("array<struct<n:int,h:bigint,len:int>>"))
       }
-      val wide = documents(s, d)
-        .select(col("doc_id"), length(col("text")).as("n_len"),
-          explode(flatten(array(gramArrays: _*))).as("g"))
+      val wide = base
         .select(col("doc_id"), col("n_len"),
-          col("g.n").as("n"), col("g.gram").as("gram"))
-        .groupBy(col("doc_id"), col("n_len"), col("n"), col("gram"))
+          explode(flatten(array(gramArrays: _*))).as("g"))
+        .groupBy(col("doc_id"), col("n_len"), col("g.n").as("n"),
+          col("g.h").as("gram_h"), col("g.len").as("gram_len"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("doc_id"), col("n_len"), col("n"))
-        .agg(max(col("cnt") * length(col("gram"))).as("top_chars"),
-          sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))
+        .agg(max(col("cnt") * col("gram_len")).as("top_chars"),
+          sum(when(col("cnt") > 1, col("cnt") * col("gram_len"))
             .otherwise(0L)).as("dup_chars"))
         .groupBy(col("doc_id"), col("n_len"))
         .agg(

@@ -50,6 +50,19 @@ object ConnectedComponents {
   val HashMinBudget = 8
   val MaxRounds = 64
 
+  /** Edge-count ceiling for the DRIVER-LOCAL solve: a distributed
+    * HashMin round costs ~1 s of fixed action/shuffle overhead at
+    * local[32] regardless of data volume, so a small graph (an epoch's
+    * contracted cluster delta, a test-scale pair graph) pays
+    * rounds × overhead for work a driver union-find finishes in
+    * microseconds. Below this many edges the graph is collected
+    * (BOUNDED by construction — the probe is limit(N+1), never an
+    * unbounded collect) and solved locally; at or above it the
+    * distributed loop runs unchanged. Override per session with
+    * `spark.graft.cc.localEdges` (0 disables the local path).
+    */
+  val LocalSolveEdges = 1 << 20
+
   /** `pairs`: one row per undirected edge (src, dst) — any orientation,
     * duplicates tolerated. Column names are positional (first two).
     */
@@ -58,6 +71,17 @@ object ConnectedComponents {
           maxRounds: Int = MaxRounds): CCResult = {
     val Array(cSrc, cDst) = pairs.columns.take(2)
     val p = pairs.select(col(cSrc).as("src"), col(cDst).as("dst"))
+    val localCap = spark.conf
+      .getOption("spark.graft.cc.localEdges")
+      .map(_.toLong).getOrElse(LocalSolveEdges.toLong)
+    if (localCap > 0) {
+      // one evaluation, early-terminated: at most localCap+1 rows ever
+      // reach the driver, and if they all fit we already hold the graph
+      val head = p.select(col("src").cast("long"), col("dst").cast("long"))
+        .limit(localCap.toInt + 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (head.length <= localCap) return localSolve(spark, head)
+    }
     val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     var labels = edges.select(col("src").as("node")).distinct()
@@ -125,5 +149,40 @@ object ConnectedComponents {
       graft.analytics.SessionCaches.adopt(labels)
       CCResult(labels, rounds)
     } finally edges.unpersist(blocking = false)
+  }
+
+  /** Driver union-find (path compression, min-root union) over a
+    * bounded edge array — value-identical to the distributed loop:
+    * labels cover exactly the edge endpoints and each label is its
+    * component's min node id. `rounds` = 0 marks the local path for
+    * spec hooks.
+    */
+  private def localSolve(spark: SparkSession,
+                         edges: Array[(Long, Long)]): CCResult = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrDefault(x, x) != x) {
+        val p = parent.get(x)
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val nodes = new java.util.HashSet[Long]()
+    edges.foreach { case (a, b) => nodes.add(a); nodes.add(b) }
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val out = nodes.asScala.toSeq.map(n => (n, find(n)))
+    val labels = (if (out.isEmpty)
+        spark.emptyDataset[(Long, Long)].toDF("node", "label")
+      else out.toDF("node", "label")).persist()
+    graft.analytics.SessionCaches.adopt(labels)
+    CCResult(labels, 0)
   }
 }

@@ -9,12 +9,31 @@ import graft.operators.ConnectedComponents
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Force the DISTRIBUTED loop (these tests pin its round/convergence
+    * behavior; small graphs otherwise take the driver-local solve).
+    */
   private def labelsOf(pairs: Seq[(Long, Long)],
                        hashMinBudget: Int = ConnectedComponents.HashMinBudget,
                        maxRounds: Int = ConnectedComponents.MaxRounds) = {
-    val r = ConnectedComponents.run(spark,
-      pairs.toDF("doc_a", "doc_b"), hashMinBudget, maxRounds)
-    (r.labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap, r.rounds)
+    spark.conf.set("spark.graft.cc.localEdges", "0")
+    try {
+      val r = ConnectedComponents.run(spark,
+        pairs.toDF("doc_a", "doc_b"), hashMinBudget, maxRounds)
+      (r.labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap, r.rounds)
+    } finally spark.conf.unset("spark.graft.cc.localEdges")
+  }
+
+  test("driver-local solve (default for small graphs) equals the distributed loop") {
+    // seeded random graph: clusters, chains, self-loops, dup edges
+    val rnd = new scala.util.Random(7L)
+    val pairs = Seq.fill(400)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)) ++
+      (200L until 230L).map(i => (i, i + 1)) ++ Seq((500L, 500L))
+    val local = ConnectedComponents.run(spark, pairs.toDF("doc_a", "doc_b"))
+    assert(local.rounds === 0, "a 431-edge graph must take the local path")
+    val (dist, _) = labelsOf(pairs)
+    val lm = local.labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(lm === dist)
+    graft.analytics.SessionCaches.release(spark)
   }
 
   test("two components, min-id labels") {
