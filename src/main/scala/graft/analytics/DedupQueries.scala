@@ -254,6 +254,32 @@ object DedupQueries {
       ngramJaccardPairs(documents(s, d), threshold)
     }
 
+  /** The dd13/dd14 two-epoch ShingleIndex over `d`, built once per run
+    * scope ([[SessionCaches.memoValue]] holds the scratch dir;
+    * [[SessionCaches.memo]] holds each epoch's materialized pair
+    * frame) — the [[sharedJaccardPairs]] discipline applied to the
+    * incremental exact-pair stage, so the index and its fold plans are
+    * computed once, not once per consumer (dd14 unions the pairs, dd13
+    * folds the same pairs into cluster state). Same snapshot-scoped
+    * caveat as every keyed memo.
+    */
+  def sharedShinglePairs(s: SparkSession,
+                         d: String): (DataFrame, DataFrame) = {
+    val dir = SessionCaches.memoValue(s, s"shingle-ix|$d") {
+      val ix = graft.FsUtil.scratchDir("shix")
+      val docs = documents(s, d)
+      graft.operators.ShingleIndex.appendEpoch(s, ix, 0L,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+      graft.operators.ShingleIndex.appendEpoch(s, ix, 1L,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      ix
+    }
+    def pairs(e: Long) = SessionCaches.memo(s, s"shingle-pairs|$d|$e") {
+      graft.operators.ShingleIndex.epochPairs(s, dir, e, 0.8)
+    }
+    (pairs(0L), pairs(1L))
+  }
+
   /** Near-dup CLUSTERS: connected components over the Jaccard pair
     * graph, labeled by the component's min doc_id (the canonical
     * keeper). Pairwise keeper selection (t13's "drop doc_b of every
@@ -386,12 +412,7 @@ object DedupQueries {
     // must equal from-scratch dd03 — same oracle SQL, no corpus
     // re-shingling after each doc's signing epoch.
     "dd14_incremental_jaccard" -> ((s, d) => {
-      val dir = graft.FsUtil.scratchDir("dd14-index")
-      val docs = documents(s, d)
-      val p0 = graft.operators.ShingleIndex.foldEpoch(s, dir, 0L,
-        docs.filter(pmod(col("doc_id"), lit(2)) === 0), 0.8)
-      val p1 = graft.operators.ShingleIndex.foldEpoch(s, dir, 1L,
-        docs.filter(pmod(col("doc_id"), lit(2)) === 1), 0.8)
+      val (p0, p1) = sharedShinglePairs(s, d)
       p0.unionByName(p1)
     }),
 
@@ -403,12 +424,9 @@ object DedupQueries {
     // oracle SQL. Clustering cost per epoch tracks the epoch's pair
     // delta, never the historical graph.
     "dd13_incremental_clusters" -> ((s, d) => {
-      val shDir = graft.FsUtil.scratchDir("dd13-sh")
       val clDir = graft.FsUtil.scratchDir("dd13-cl")
-      val docs = documents(s, d)
-      Seq(0, 1).foreach { e =>
-        val pairs = graft.operators.ShingleIndex.foldEpoch(s, shDir,
-          e.toLong, docs.filter(pmod(col("doc_id"), lit(2)) === e), 0.8)
+      val (p0, p1) = sharedShinglePairs(s, d)
+      Seq(p0, p1).zipWithIndex.foreach { case (pairs, e) =>
         graft.operators.ClusterIndex.foldEpoch(s, clDir, e.toLong,
           pairs.select(col("doc_a"), col("doc_b")))
       }
