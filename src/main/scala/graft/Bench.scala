@@ -37,7 +37,8 @@ object Bench {
     // measure the plan, not first-call classloading — one representative
     // per operator family (agg, shingle-join, vector)
     Seq("q01_pricing_summary", "dd03_ngram_jaccard", "dd06_embedding_neardup",
-      "s01_knn_bruteforce", "dd07_dup_clusters")
+      "s01_knn_bruteforce", "dd07_dup_clusters", "dd08_incremental_neardup",
+      "dd13_incremental_clusters")
       .foreach { n =>
         SparkEntry.queries.get(n)
           .foreach(fn => fn(spark, "/root/testdata/sf0.001").count())

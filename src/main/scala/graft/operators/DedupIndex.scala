@@ -216,18 +216,22 @@ object DedupIndex {
     // broadcast supersession filter, replacing a full-index
     // latest-per-doc shuffle. Derived by a narrow doc_id-column scan of
     // the prior sigs against the broadcast epoch id set; usually empty.
-    val tmpR = resignedRoot(dir).resolve(s".tmp-epoch-$epochId")
-    Files.createDirectories(resignedRoot(dir))
+    // A FIRST epoch has no priors and so no list: [[resignedLists]]
+    // treats an absent mirror as empty, so no job runs at all.
     val priorPaths = m.entries.map(e => s"$dir/${e.path}")
-    val resigned =
-      if (priorPaths.isEmpty)
-        back.select(col("doc_id")).limit(0)
-      else spark.read.parquet(priorPaths: _*).select(col("doc_id"))
-        .join(broadcast(back.select(col("doc_id")).distinct()),
-          Seq("doc_id"), "left_semi")
-        .distinct()
-    resigned.withColumn("last", lit(epochId))
-      .write.mode("overwrite").parquet(tmpR.toString)
+    val tmpR =
+      if (priorPaths.isEmpty) None
+      else {
+        val tmp = resignedRoot(dir).resolve(s".tmp-epoch-$epochId")
+        Files.createDirectories(resignedRoot(dir))
+        spark.read.parquet(priorPaths: _*).select(col("doc_id"))
+          .join(broadcast(back.select(col("doc_id")).distinct()),
+            Seq("doc_id"), "left_semi")
+          .distinct()
+          .withColumn("last", lit(epochId))
+          .write.mode("overwrite").parquet(tmp.toString)
+        Some(tmp)
+      }
     // publish all three, then commit — a crash before the manifest swap
     // leaves only orphans the retry overwrites
     def publish(tmp: Path, rel: String): Unit = {
@@ -236,7 +240,7 @@ object DedupIndex {
       Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
     }
     publish(tmpB, s"buckets/epoch=$epochId")
-    publish(tmpR, s"resigned/epoch=$epochId")
+    tmpR.foreach(publish(_, s"resigned/epoch=$epochId"))
     publish(tmpSigs, s"sigs/epoch=$epochId")
     commitManifest(dir, IndexManifest(m.version + 1,
       m.entries :+ IndexEntry(epochId, epochId, s"sigs/epoch=$epochId")),

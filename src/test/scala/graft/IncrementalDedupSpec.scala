@@ -67,9 +67,10 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(inc === pairSet(batchPairs))
     p012.unpersist()
     // vacuum with zero grace reclaims the superseded per-epoch dirs:
-    // sigs/ + buckets/ + resigned/ for each of the two folded epochs
-    // (the compacted entry bakes their supersession into storage)
-    assert(DedupIndex.vacuum(dir, graceMs = 0L) === 6)
+    // sigs/ + buckets/ for both folded epochs, resigned/ only for
+    // epoch 1 (a FIRST epoch has no priors, so no resigned mirror is
+    // ever written — absence reads as empty)
+    assert(DedupIndex.vacuum(dir, graceMs = 0L) === 5)
     assert(DedupIndex.vacuum(dir, graceMs = 0L) === 0)
     // and the index still reads after reclamation
     assert(DedupIndex.epochPairs(spark, dir, 3L).count() === p3.count())
