@@ -131,4 +131,19 @@ class IncrementalClusterSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(s === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 3L -> 3L, 4L -> 3L))
   }
+
+  test("epoch shingle work is epoch-sized: epoch 1 pair plan reads shingle sets, not corpus text") {
+    // the DedupIndex pin (IncrementalDedupSpec) applied to the exact
+    // modality: once a doc is signed, later epochs join its PERSISTED
+    // distinct shingle set — no document is ever re-shingled
+    val dir = tmpDir("dd14-shape")
+    ShingleIndex.foldEpoch(spark, dir, 0L,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), 0.8).count()
+    ShingleIndex.appendEpoch(spark, dir, 1L,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    val plan = ShingleIndex.epochPairs(spark, dir, 1L, 0.8)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("text"), "pair plan must not touch corpus text")
+    graft.analytics.SessionCaches.release(spark)
+  }
 }
