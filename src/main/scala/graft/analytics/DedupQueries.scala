@@ -265,7 +265,19 @@ object DedupQueries {
     */
   def sharedShinglePairs(s: SparkSession,
                          d: String): (DataFrame, DataFrame) = {
-    val dir = SessionCaches.memoValue(s, s"shingle-ix|$d") {
+    val dir = sharedShingleIndexDir(s, d)
+    def pairs(e: Long) = SessionCaches.memo(s, s"shingle-pairs|$d|$e") {
+      graft.operators.ShingleIndex.epochPairs(s, dir, e, 0.8)
+    }
+    (pairs(0L), pairs(1L))
+  }
+
+  /** The shared index's scratch dir alone — dd15 reads the SAME
+    * persisted shingle sets the pair maintenance uses (one shingle
+    * store, every consumer).
+    */
+  def sharedShingleIndexDir(s: SparkSession, d: String): String =
+    SessionCaches.memoValue(s, s"shingle-ix|$d") {
       val ix = graft.FsUtil.scratchDir("shix")
       val docs = documents(s, d)
       graft.operators.ShingleIndex.appendEpoch(s, ix, 0L,
@@ -274,11 +286,6 @@ object DedupQueries {
         docs.filter(pmod(col("doc_id"), lit(2)) === 1))
       ix
     }
-    def pairs(e: Long) = SessionCaches.memo(s, s"shingle-pairs|$d|$e") {
-      graft.operators.ShingleIndex.epochPairs(s, dir, e, 0.8)
-    }
-    (pairs(0L), pairs(1L))
-  }
 
   /** Near-dup CLUSTERS: connected components over the Jaccard pair
     * graph, labeled by the component's min doc_id (the canonical
@@ -434,6 +441,21 @@ object DedupQueries {
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
     }),
 
+    // INCREMENTAL eval-set decontamination — dd10 without the per-run
+    // corpus re-shingle: each training epoch's contamination rows come
+    // from its PERSISTED shingle sets in the shared ShingleIndex (the
+    // same store dd13/dd14 maintain — one shingle pass per doc ever,
+    // for every consumer) joined against the index's live eval-doc
+    // sets. Union over epochs == batch dd10 — same oracle SQL.
+    "dd15_incremental_decontamination" -> ((s, d) => {
+      val dir = sharedShingleIndexDir(s, d)
+      val evalIds = documents(s, d).select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+      Seq(0L, 1L).map(e =>
+          graft.operators.ShingleIndex.contamination(s, dir, e, evalIds))
+        .reduce(_ unionByName _)
+    }),
+
     // Incremental candidates + EXACT-Jaccard verify: the two-epoch fold
     // again, but each epoch's index candidates are verified by shingling
     // ONLY the candidate documents (pairs-bounded text work). Union over
@@ -563,22 +585,28 @@ object DedupQueries {
     // set — same oracle as dd04
     "dd08_incremental_neardup" -> minhashLshOracleSql,
     "dd09_incremental_verified" -> verifiedCandOracleSql(0.8),
-    "dd10_decontamination" ->
-      """WITH sh AS (
-        | SELECT DISTINCT doc_id, shingle FROM (
-        |  SELECT doc_id, unnest(list_transform(
-        |    range(1, len(string_split(text,' ')) - 3),
-        |    i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS shingle
-        |  FROM documents)),
-        |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 20 = 0)
-        |SELECT t.doc_id,
-        | count(DISTINCT t.shingle) AS n_shared_shingles,
-        | count(DISTINCT ev.eval_id) AS n_eval_docs
-        |FROM sh t JOIN ev ON ev.shingle = t.shingle
-        |WHERE t.doc_id % 20 <> 0
-        |GROUP BY 1""".stripMargin,
+    "dd10_decontamination" -> decontamOracleSql,
+    "dd15_incremental_decontamination" -> decontamOracleSql,
     "dd05_simhash" -> simhashOracleSql,
     "dd12_incremental_simhash" -> simhashOracleSql) ++ oraclesRest
+
+  /** Shared by dd10 (batch) and dd15 (incremental over the shingle
+    * index) — the two must produce the identical table.
+    */
+  private lazy val decontamOracleSql: String =
+    """WITH sh AS (
+      | SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, len(string_split(text,' ')) - 3),
+      |    i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS shingle
+      |  FROM documents)),
+      |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 20 = 0)
+      |SELECT t.doc_id,
+      | count(DISTINCT t.shingle) AS n_shared_shingles,
+      | count(DISTINCT ev.eval_id) AS n_eval_docs
+      |FROM sh t JOIN ev ON ev.shingle = t.shingle
+      |WHERE t.doc_id % 20 <> 0
+      |GROUP BY 1""".stripMargin
 
   private lazy val simhashOracleSql: String = {
       val bitCols = (0 until SimBits)

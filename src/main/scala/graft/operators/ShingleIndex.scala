@@ -148,4 +148,45 @@ object ShingleIndex {
     appendEpoch(spark, dir, epochId, docs)
     epochPairs(spark, dir, epochId, threshold, maxDocFreq)
   }
+
+  /** Eval-set DECONTAMINATION of epoch `epochId`'s documents against
+    * the eval docs (`evalIds`: a (doc_id) frame) whose shingle sets
+    * live in the SAME index — batch dd10 restricted to train docs whose
+    * arrival epoch is `epochId`. One persisted shingle store serves
+    * both the pair maintenance (dd13/dd14) and this op: a document is
+    * shingled exactly once ever, for every consumer.
+    *
+    * Per-epoch work is epoch x eval bounded, never corpus bounded: the
+    * train side is the epoch's own narrow (doc_id, shingle) rows, the
+    * eval side is the index's live rows semi-joined to `evalIds`
+    * (eval sets are small — the semi filter broadcasts), and the join
+    * is int64-shingle-bucket shaped with two countDistincts bounded by
+    * colliding (train, eval, shingle) triples, exactly the batch dd10
+    * shape. Union over epochs == batch dd10 on the cumulative corpus
+    * (each train doc's row depends only on its own set x the eval set,
+    * so the per-epoch restriction decomposes exactly), PROVIDED the
+    * eval side is read at a time covering all eval docs — the eval scan
+    * takes the index's latest live sets at CALL time, so an eval doc
+    * arriving later flags only later epochs (the standard prospective
+    * semantics of incremental maintenance; retrospective per-epoch
+    * calls after the eval set is complete are exact).
+    */
+  def contamination(spark: SparkSession, dir: String, epochId: Long,
+                    evalIds: DataFrame): DataFrame = {
+    val ids = evalIds.select(col("doc_id"))
+    val epoch = DedupIndex.readSigs(spark, dir, Seq(epochId))
+      .filter(col("shingle").isNotNull)
+      .select(col("doc_id"), col("shingle"))
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+    val eval_ = DedupIndex
+      .latestSigs(DedupIndex.readSigs(spark, dir,
+        DedupIndex.committedEpochs(dir)))
+      .filter(col("shingle").isNotNull)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    epoch.join(eval_, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
 }

@@ -132,6 +132,39 @@ class IncrementalClusterSpec extends SparkSpec {
     assert(s === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("incremental decontamination: union over three epochs equals batch dd10") {
+    val dir = tmpDir("dd15-three")
+    val isEval = pmod(col("doc_id"), lit(20)) === 0
+    val evalIds = docs.select(col("doc_id")).filter(isEval)
+    (0 to 2).foreach(e => ShingleIndex.appendEpoch(spark, dir, e.toLong,
+      docs.filter(pmod(col("doc_id"), lit(3)) === e)))
+    val inc = (0 to 2).map(e =>
+        ShingleIndex.contamination(spark, dir, e.toLong, evalIds))
+      .reduce(_ unionByName _)
+    val batch = DedupQueries.queries("dd10_decontamination")(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(batch).nonEmpty, "test corpus must contain contamination")
+    assert(rows(inc) === rows(batch))
+    graft.analytics.SessionCaches.release(spark)
+  }
+
+  test("a tombstoned eval doc stops flagging later epochs") {
+    val dir = tmpDir("dd15-tomb")
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val evalIds = Seq(Tuple1(100L)).toDF("doc_id")
+    // epoch 0: eval doc 100 + train doc 1 sharing its text
+    ShingleIndex.appendEpoch(spark, dir, 0L,
+      Seq((100L, words), (1L, words)).toDF("doc_id", "text"))
+    val c0 = ShingleIndex.contamination(spark, dir, 0L, evalIds).collect()
+    assert(c0.map(_.getLong(0)).toSet === Set(1L))
+    // epoch 1: the eval doc is deleted; train doc 2 with the same text
+    ShingleIndex.appendEpoch(spark, dir, 1L,
+      Seq((2L, words)).toDF("doc_id", "text"),
+      deletes = Some(Seq(Tuple1(100L)).toDF("doc_id")))
+    assert(ShingleIndex.contamination(spark, dir, 1L, evalIds).count() === 0)
+  }
+
   test("epoch shingle work is epoch-sized: epoch 1 pair plan reads shingle sets, not corpus text") {
     // the DedupIndex pin (IncrementalDedupSpec) applied to the exact
     // modality: once a doc is signed, later epochs join its PERSISTED
@@ -144,6 +177,12 @@ class IncrementalClusterSpec extends SparkSpec {
     val plan = ShingleIndex.epochPairs(spark, dir, 1L, 0.8)
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("text"), "pair plan must not touch corpus text")
+    // the decontamination fold carries the same guarantee
+    val cplan = ShingleIndex
+      .contamination(spark, dir, 1L, Seq(Tuple1(0L)).toDF("doc_id"))
+      .queryExecution.optimizedPlan.toString
+    assert(!cplan.contains("text"),
+      "contamination plan must not touch corpus text")
     graft.analytics.SessionCaches.release(spark)
   }
 }
