@@ -44,8 +44,14 @@ import graft.analytics.DedupQueries
   *     an entry's epochs re-signed or tombstoned that the index had
   *     already seen: the fold's broadcast supersession filter,
   *     replacing a full-index latest-per-doc shuffle. Bounded by
-  *     re-sign traffic, usually empty; a tiered-merged range carries
+  *     re-sign traffic, usually ABSENT (absence reads as empty — an
+  *     empty list is never published); a tiered-merged range carries
   *     its epochs' combined list at the mirror path.
+  *   bloom/epoch=N | bloom/compact-A-B — one serialized Bloom filter
+  *     FILE over the entry's doc_id set: prunes each append's
+  *     resigned-overlap scan to the entries that might share a doc
+  *     with the epoch — on a fresh-doc feed, to NONE, making append
+  *     cost truly epoch-bounded (no prior bytes read at all).
   *
   * Equivalence: signatures are per-doc and epoch-independent, and both
   * the batch op and this index generate candidates from the SAME band
@@ -56,12 +62,11 @@ import graft.analytics.DedupQueries
   * and no pair is produced twice (its younger side belongs to exactly
   * one epoch). Oracle-checked as dd08 against the dd04 DuckDB SQL.
   *
-  * Scale shape: appendEpoch's cost is O(epoch text) for signing plus a
-  * NARROW doc_id-column scan of the prior index for the resigned/ list
-  * (columnar, no shuffle — vs the alternative, a full-index groupBy
-  * shuffle on EVERY fold, this append-side scan is strictly cheaper
-  * and is the piece a cluster deployment would cut further with a
-  * per-entry Bloom sidecar). epochPairs joins the epoch's band buckets
+  * Scale shape: appendEpoch's cost is O(epoch text) for signing; the
+  * resigned/ list needs a prior scan only for entries whose Bloom
+  * sidecar says the epoch might overlap them — a fresh-doc epoch reads
+  * ZERO prior bytes (the sidecar promise the round-4 scaladoc made,
+  * now wired). epochPairs joins the epoch's band buckets
   * against the index's — the epoch side is small and broadcast, the
   * index side is a NARROW (doc_id, band, 4-int tuple) pruned scan of
   * the buckets/ dirs (~150 B/doc), never the corpus text (the
@@ -78,7 +83,16 @@ object DedupIndex {
     * contiguous run into one entry).
     */
   final case class IndexEntry(minEpoch: Long, maxEpoch: Long, path: String)
-  final case class IndexManifest(version: Long, entries: List[IndexEntry]) {
+  /** `features`: layout capabilities every entry of this index carries,
+    * set at FIRST-epoch commit and carried forward verbatim (json4s
+    * default-arg evolution — older manifests read as Nil). A feature
+    * set mid-life would lie about the older entries, so writers only
+    * establish features on an empty index; readers gate fast paths on
+    * them and fall back otherwise ([[ShingleIndex.epochPairs]]'s
+    * "resigned-mirrors").
+    */
+  final case class IndexManifest(version: Long, entries: List[IndexEntry],
+                                 features: List[String] = Nil) {
     def epochs: Seq[Long] =
       entries.flatMap(e => e.minEpoch to e.maxEpoch).sorted
     def isCommitted(epochId: Long): Boolean =
@@ -90,6 +104,93 @@ object DedupIndex {
   private def currentPtr(dir: String): Path = metaDir(dir).resolve("CURRENT")
   private def bucketsRoot(dir: String): Path = Paths.get(dir, "buckets")
   private def resignedRoot(dir: String): Path = Paths.get(dir, "resigned")
+  private def bloomRoot(dir: String): Path = Paths.get(dir, "bloom")
+
+  /** bloom/epoch=N | bloom/compact-A-B — one serialized Bloom filter
+    * FILE per entry over the entry's key set (fpp 1%, sized by exact
+    * distinct count): the append-side overlap prefilter. Computing an
+    * epoch's resigned/ list needs "which prior entries share a key with
+    * this epoch" — without the sidecar that is a key-column scan of the
+    * WHOLE prior index per append (narrow but corpus-bounded, the
+    * residual slope §6b measures); with it, one epoch-bounded job
+    * probes the K entry blooms and prunes the scan to overlapping
+    * entries — usually NONE on a fresh-doc feed, so the scan (and the
+    * mirror write) disappear entirely. False positives only cost an
+    * unnecessary entry scan; false negatives cannot happen; a missing
+    * sidecar reads as "might overlap" (conservative full inclusion).
+    */
+  private def bloomPath(dir: String, rel: String): Path =
+    Paths.get(dir, rel.replaceFirst("^sigs/", "bloom/"))
+
+  private[operators] def writeBloomSidecar(dir: String, rel: String,
+                                           keys: DataFrame,
+                                           keyCol: String): Unit = {
+    val ids = keys.select(col(keyCol)).distinct().persist()
+    try {
+      val n = ids.count()
+      // an empty entry (tombstone-only epochs aside, a legal shape) gets
+      // an empty filter — mightContain is always false, so the entry is
+      // always pruned; Spark's aggregate NPEs on zero rows
+      val bf =
+        if (n == 0L)
+          org.apache.spark.util.sketch.BloomFilter.create(64L, 0.01)
+        else ids.stat.bloomFilter(keyCol, n, 0.01)
+      Files.createDirectories(bloomRoot(dir))
+      val tmp = bloomRoot(dir)
+        .resolve(s".tmp-${rel.replaceFirst("^sigs/", "")}")
+      scala.util.Using.resource(Files.newOutputStream(tmp))(bf.writeTo)
+      val dst = bloomPath(dir, rel)
+      Files.deleteIfExists(dst)
+      Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    } finally ids.unpersist()
+  }
+
+  private def loadBloomSidecar(dir: String, entry: IndexEntry)
+      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val p = bloomPath(dir, entry.path)
+    if (!Files.exists(p)) None
+    else Some(scala.util.Using.resource(Files.newInputStream(p))(
+      org.apache.spark.util.sketch.BloomFilter.readFrom))
+  }
+
+  /** The subset of `entries` whose key sets MIGHT intersect `ids`
+    * (long-typed `keyCol` column), per their Bloom sidecars — one
+    * epoch-bounded job computing an OR-mask of per-entry hits. Entries
+    * without a sidecar (or beyond the 62-entry mask width, which
+    * [[autoMaintain]]'s bound keeps unreachable) are conservatively
+    * included; the result can only over-approximate, never miss.
+    */
+  private[operators] def overlappingEntries(spark: SparkSession,
+                                            dir: String,
+                                            entries: List[IndexEntry],
+                                            ids: DataFrame,
+                                            keyCol: String)
+      : List[IndexEntry] = {
+    if (entries.isEmpty) return Nil
+    val blooms = entries.map(loadBloomSidecar(dir, _))
+    if (entries.size > 62 || blooms.forall(_.isEmpty)) return entries
+    val bc = spark.sparkContext.broadcast(blooms)
+    import spark.implicits._
+    val masks = ids.select(col(keyCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        val bs = bc.value
+        var m = 0L
+        it.foreach { k =>
+          var i = 0
+          while (i < bs.length) {
+            if ((m & (1L << i)) == 0 &&
+                bs(i).forall(_.mightContainLong(k))) m |= 1L << i
+            i += 1
+          }
+        }
+        Iterator.single(m)
+      }.collect()
+    val mask = masks.foldLeft(0L)(_ | _)
+    bc.destroy()
+    entries.zipWithIndex.collect {
+      case (e, i) if (mask & (1L << i)) != 0 => e
+    }
+  }
 
   /** Directory-bucket fan of the band-bucket side table: band rows are
     * written `partitionBy(sb)` with sb = pmod(xxhash64(band, bkt.*),
@@ -211,26 +312,38 @@ object DedupIndex {
     Files.createDirectories(bucketsRoot(dir))
     bucketRows(back).write.mode("overwrite")
       .partitionBy("sb").parquet(tmpB.toString)
+    // bloom/: the entry's doc_id set as a serialized Bloom sidecar —
+    // prunes every FUTURE epoch's resigned-overlap scan (below) to the
+    // entries that might share a doc with it
+    writeBloomSidecar(dir, s"sigs/epoch=$epochId", back, "doc_id")
     // resigned/: (doc_id, last = this epoch) for docs the index already
     // knows (re-signs AND tombstones of indexed docs) — the fold's
     // broadcast supersession filter, replacing a full-index
     // latest-per-doc shuffle. Derived by a narrow doc_id-column scan of
-    // the prior sigs against the broadcast epoch id set; usually empty.
-    // A FIRST epoch has no priors and so no list: [[resignedLists]]
-    // treats an absent mirror as empty, so no job runs at all.
-    val priorPaths = m.entries.map(e => s"$dir/${e.path}")
+    // the prior sigs against the broadcast epoch id set — pruned by the
+    // entry Bloom sidecars to entries that might overlap, so on a
+    // fresh-doc feed NO prior bytes are read and no mirror is written
+    // (absence reads as empty, same as a first epoch's missing list).
+    val overlap = overlappingEntries(spark, dir, m.entries,
+      back.select(col("doc_id")), "doc_id")
     val tmpR =
-      if (priorPaths.isEmpty) None
+      if (overlap.isEmpty) None
       else {
         val tmp = resignedRoot(dir).resolve(s".tmp-epoch-$epochId")
         Files.createDirectories(resignedRoot(dir))
-        spark.read.parquet(priorPaths: _*).select(col("doc_id"))
+        spark.read.parquet(overlap.map(e => s"$dir/${e.path}"): _*)
+          .select(col("doc_id"))
           .join(broadcast(back.select(col("doc_id")).distinct()),
             Seq("doc_id"), "left_semi")
           .distinct()
           .withColumn("last", lit(epochId))
           .write.mode("overwrite").parquet(tmp.toString)
-        Some(tmp)
+        // a Bloom false positive can select entries that share nothing:
+        // never publish an EMPTY mirror (absence already means empty,
+        // and keeps vacuum/reader dir counts deterministic)
+        if (spark.read.parquet(tmp.toString).head(1).isEmpty) {
+          graft.FsUtil.deleteTree(tmp); None
+        } else Some(tmp)
       }
     // publish all three, then commit — a crash before the manifest swap
     // leaves only orphans the retry overwrites
@@ -243,7 +356,65 @@ object DedupIndex {
     tmpR.foreach(publish(_, s"resigned/epoch=$epochId"))
     publish(tmpSigs, s"sigs/epoch=$epochId")
     commitManifest(dir, IndexManifest(m.version + 1,
-      m.entries :+ IndexEntry(epochId, epochId, s"sigs/epoch=$epochId")),
+      m.entries :+ IndexEntry(epochId, epochId, s"sigs/epoch=$epochId"),
+      m.features), m.version)
+    true
+  }
+
+  /** [[appendFrame]] plus the broadcast-supersession mirror set: the
+    * entry's doc_id Bloom sidecar and its resigned/ list (docs this
+    * epoch re-signs or tombstones that the index already holds), the
+    * prior scan PRUNED by the existing entries' sidecars — on a
+    * fresh-doc feed no prior bytes are read and no mirror is written.
+    * `firstEpochFeatures` is established on an EMPTY index only (see
+    * [[IndexManifest.features]]) so a resumed legacy dir keeps reading
+    * through its fallback path instead of trusting mirrors its old
+    * entries never wrote.
+    */
+  private[operators] def appendFrameWithMirrors(
+      spark: SparkSession, dir: String, epochId: Long, df: DataFrame,
+      firstEpochFeatures: List[String]): Boolean = {
+    val m = loadManifest(dir)
+    if (m.isCommitted(epochId)) return false
+    val rel = s"sigs/epoch=$epochId"
+    Files.createDirectories(sigsRoot(dir))
+    val tmpSigs = sigsRoot(dir).resolve(s".tmp-epoch-$epochId")
+    df.write.mode("overwrite").parquet(tmpSigs.toString)
+    val back = spark.read.parquet(tmpSigs.toString)
+    writeBloomSidecar(dir, rel, back, "doc_id")
+    val overlap = overlappingEntries(spark, dir, m.entries,
+      back.select(col("doc_id")), "doc_id")
+    val tmpR =
+      if (overlap.isEmpty) None
+      else {
+        val tmp = resignedRoot(dir).resolve(s".tmp-epoch-$epochId")
+        Files.createDirectories(resignedRoot(dir))
+        spark.read.parquet(overlap.map(e => s"$dir/${e.path}"): _*)
+          .select(col("doc_id"))
+          .join(broadcast(back.select(col("doc_id")).distinct()),
+            Seq("doc_id"), "left_semi")
+          .distinct()
+          .withColumn("last", lit(epochId))
+          .write.mode("overwrite").parquet(tmp.toString)
+        // a Bloom false positive can select entries that share nothing:
+        // never publish an EMPTY mirror (absence already means empty,
+        // and keeps vacuum/reader dir counts deterministic)
+        if (spark.read.parquet(tmp.toString).head(1).isEmpty) {
+          graft.FsUtil.deleteTree(tmp); None
+        } else Some(tmp)
+      }
+    def publish(tmp: Path, r: String): Unit = {
+      val dst = Paths.get(dir, r)
+      graft.FsUtil.deleteTree(dst)
+      Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    }
+    tmpR.foreach(publish(_, rel.replaceFirst("^sigs/", "resigned/")))
+    publish(tmpSigs, rel)
+    val features =
+      if (m.entries.isEmpty) (m.features ++ firstEpochFeatures).distinct
+      else m.features
+    commitManifest(dir, IndexManifest(m.version + 1,
+      m.entries :+ IndexEntry(epochId, epochId, rel), features),
       m.version)
     true
   }
@@ -265,7 +436,8 @@ object DedupIndex {
     graft.FsUtil.deleteTree(dst) // crashed-attempt orphan, if any
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
     commitManifest(dir, IndexManifest(m.version + 1,
-      m.entries :+ IndexEntry(epochId, epochId, rel)), m.version)
+      m.entries :+ IndexEntry(epochId, epochId, rel), m.features),
+      m.version)
     true
   }
 
@@ -389,6 +561,11 @@ object DedupIndex {
       graft.FsUtil.deleteTree(bDst)
       Files.move(bTmp, bDst, StandardCopyOption.ATOMIC_MOVE)
     }
+    // merged bloom sidecar: recomputed over the folded output whenever
+    // any source entry carried one (an index that never wrote sidecars
+    // stays sidecar-free)
+    if (run.exists(e => Files.exists(bloomPath(dir, e.path))))
+      writeBloomSidecar(dir, rel, spark.read.parquet(dst.toString), keyCol)
     // mid-range merge: carry the combined resigned/ list forward
     if (!atPrefix) {
       val lists = run
@@ -407,8 +584,8 @@ object DedupIndex {
     }
     val merged = (sorted.filterNot(run.contains) :+
       IndexEntry(lo, hi, rel)).sortBy(_.minEpoch)
-    commitManifest(dir, IndexManifest(m.version + 1, merged.toList),
-      m.version)
+    commitManifest(dir, IndexManifest(m.version + 1, merged.toList,
+      m.features), m.version)
     true
   }
 
@@ -504,7 +681,8 @@ object DedupIndex {
     val referenced = entries
       .flatMap(e => Seq(Paths.get(dir, e.path),
         Paths.get(dir, e.path.replaceFirst("^sigs/", "buckets/")),
-        Paths.get(dir, e.path.replaceFirst("^sigs/", "resigned/"))))
+        Paths.get(dir, e.path.replaceFirst("^sigs/", "resigned/")),
+        bloomPath(dir, e.path)))
       .map(_.toAbsolutePath.normalize).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
@@ -517,6 +695,14 @@ object DedupIndex {
           .toList)
           .foreach { p => graft.FsUtil.deleteTree(p); deleted += 1 }
       }
+    // bloom sidecars are FILES, not dirs — same referenced/grace rules
+    if (Files.exists(bloomRoot(dir)))
+      graft.FsUtil.listDir(bloomRoot(dir))(_
+        .filter(p => Files.isRegularFile(p))
+        .filter(p => !referenced.contains(p.toAbsolutePath.normalize))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .toList)
+        .foreach { p => Files.deleteIfExists(p); deleted += 1 }
     deleted
   }
 
@@ -550,7 +736,7 @@ object DedupIndex {
     * way [[readSigs]] checks: every committed epoch < epochId must
     * resolve from them.
     */
-  private def priorEntries(dir: String, epochId: Long): List[IndexEntry] = {
+  private[operators] def priorEntries(dir: String, epochId: Long): List[IndexEntry] = {
     val m = loadManifest(dir)
     val sel = m.entries.filter(_.maxEpoch < epochId)
     val covered = sel.flatMap(e => e.minEpoch to e.maxEpoch).toSet
@@ -572,7 +758,7 @@ object DedupIndex {
     * none (supersession baked into storage — the mirror simply does
     * not exist and is skipped).
     */
-  private def resignedLists(spark: SparkSession, dir: String,
+  private[operators] def resignedLists(spark: SparkSession, dir: String,
                             entries: Seq[IndexEntry]): Option[DataFrame] = {
     val paths = entries
       .map(e => Paths.get(dir, e.path.replaceFirst("^sigs/", "resigned/")))
@@ -588,7 +774,7 @@ object DedupIndex {
     * point: the legacy path resolved latest-per-doc with a full-index
     * groupBy (one wide shuffle per fold).
     */
-  private def dropSuperseded(df: DataFrame, newDocs: DataFrame,
+  private[operators] def dropSuperseded(df: DataFrame, newDocs: DataFrame,
                              resigned: Option[DataFrame]): DataFrame = {
     val a = df.join(broadcast(newDocs), Seq("doc_id"), "left_anti")
     resigned match {

@@ -132,6 +132,30 @@ class IncrementalClusterSpec extends SparkSpec {
     assert(s === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("legacy supersession path equals the mirrored fold on re-signs and tombstones") {
+    // forceLegacy re-resolves the same index through the latest-per-doc
+    // groupBy (the pre-mirror shape, kept as the regression anchor and
+    // the read path for dirs whose entries never wrote mirrors)
+    val dir = tmpDir("dd14-legacy")
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ShingleIndex.appendEpoch(spark, dir, 0L,
+      Seq((1L, words + " v-one"), (4L, words + " zzz")).toDF("doc_id", "text"))
+    ShingleIndex.appendEpoch(spark, dir, 1L,
+      Seq((1L, words + " v-two"), (2L, words + " v-two"))
+        .toDF("doc_id", "text"),
+      deletes = Some(Seq(Tuple1(4L)).toDF("doc_id")))
+    ShingleIndex.appendEpoch(spark, dir, 2L,
+      Seq((3L, words + " v-two")).toDF("doc_id", "text"))
+    def ps(force: Boolean) = (1 to 2).flatMap(e =>
+      ShingleIndex.epochPairs(spark, dir, e.toLong, 0.5,
+          forceLegacy = force)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+      .toSet
+    val mirrored = ps(false)
+    assert(mirrored === ps(true))
+    assert(mirrored.map(p => (p._1, p._2)) === Set((1L, 2L), (2L, 3L), (1L, 3L)))
+  }
+
   test("incremental decontamination: union over three epochs equals batch dd10") {
     val dir = tmpDir("dd15-three")
     val isEval = pmod(col("doc_id"), lit(20)) === 0
@@ -177,6 +201,15 @@ class IncrementalClusterSpec extends SparkSpec {
     val plan = ShingleIndex.epochPairs(spark, dir, 1L, 0.8)
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("text"), "pair plan must not touch corpus text")
+    // mirror-era supersession is broadcast anti-joins, never a
+    // latest-per-doc groupBy over the whole shingle store (the
+    // index-sized exchange the legacy path pays per fold)
+    assert(!plan.contains("max(_sig_epoch"),
+      "mirrored fold must not resolve supersession with a groupBy")
+    assert(ShingleIndex.epochPairs(spark, dir, 1L, 0.8,
+        forceLegacy = true)
+      .queryExecution.optimizedPlan.toString.contains("max(_sig_epoch"),
+      "forceLegacy must exercise the groupBy anchor path")
     // the decontamination fold carries the same guarantee
     val cplan = ShingleIndex
       .contamination(spark, dir, 1L, Seq(Tuple1(0L)).toDF("doc_id"))

@@ -66,11 +66,12 @@ class IncrementalDedupSpec extends SparkSpec {
     val inc = pairSet(p012.unionByName(p3))
     assert(inc === pairSet(batchPairs))
     p012.unpersist()
-    // vacuum with zero grace reclaims the superseded per-epoch dirs:
-    // sigs/ + buckets/ for both folded epochs, resigned/ only for
-    // epoch 1 (a FIRST epoch has no priors, so no resigned mirror is
-    // ever written — absence reads as empty)
-    assert(DedupIndex.vacuum(dir, graceMs = 0L) === 5)
+    // vacuum with zero grace reclaims the superseded per-epoch state:
+    // sigs/ + buckets/ dirs + the bloom sidecar FILE for both folded
+    // epochs; no resigned mirrors exist (the epochs' doc sets are
+    // disjoint, and an empty mirror is never published — absence reads
+    // as empty)
+    assert(DedupIndex.vacuum(dir, graceMs = 0L) === 6)
     assert(DedupIndex.vacuum(dir, graceMs = 0L) === 0)
     // and the index still reads after reclamation
     assert(DedupIndex.epochPairs(spark, dir, 3L).count() === p3.count())
@@ -237,6 +238,41 @@ class IncrementalDedupSpec extends SparkSpec {
     // explicit opt-out: proceeds, silently dropping the held-out doc's pairs
     assert(DedupIndex.verifiedEpochPairs(spark, dir, 0L, holed, 0.5,
       requireFullCorpus = false).count() >= 0)
+    graft.analytics.SessionCaches.release(spark)
+  }
+
+  test("bloom sidecars prune the resigned scan: fresh epochs publish no mirror, re-signs still do") {
+    import spark.implicits._
+    val dir = tmpDir("dd08-bloom")
+    def mirror(e: Long) =
+      java.nio.file.Paths.get(dir, s"resigned/epoch=$e")
+    def sidecar(e: Long) =
+      java.nio.file.Paths.get(dir, s"bloom/epoch=$e")
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    DedupIndex.appendEpoch(spark, dir, 0L,
+      Seq((1L, words + " one"), (2L, words + " two")).toDF("doc_id", "text"))
+    assert(java.nio.file.Files.exists(sidecar(0L)))
+    // disjoint docs: the sidecar prunes every prior entry, so neither
+    // the prior scan nor the mirror write happens
+    DedupIndex.appendEpoch(spark, dir, 1L,
+      Seq((3L, words + " three")).toDF("doc_id", "text"))
+    assert(!java.nio.file.Files.exists(mirror(1L)),
+      "a fresh-doc epoch must not publish a resigned mirror")
+    // a re-sign of doc 1 overlaps epoch 0: the mirror appears and the
+    // fold serves the LATEST signature only
+    DedupIndex.appendEpoch(spark, dir, 2L,
+      Seq((1L, words + " one-rev")).toDF("doc_id", "text"))
+    assert(java.nio.file.Files.exists(mirror(2L)))
+    // a deleted sidecar degrades to the conservative full scan: the
+    // re-sign of doc 2 is still detected
+    java.nio.file.Files.delete(sidecar(0L))
+    DedupIndex.appendEpoch(spark, dir, 3L,
+      Seq((2L, words + " two-rev")).toDF("doc_id", "text"))
+    assert(java.nio.file.Files.exists(mirror(3L)),
+      "missing sidecar must fall back to scanning, not to skipping")
+    val rows = DedupIndex.readSigs(spark, dir, Seq(3L))
+      .select($"doc_id").as[Long].collect()
+    assert(rows.toSet === Set(2L))
     graft.analytics.SessionCaches.release(spark)
   }
 

@@ -96,11 +96,13 @@ class TieredCompactionSpec extends SparkSpec {
     seed(spark, dir)
     assert(DedupIndex.compactRange(spark, dir, 1L, 3L))
     // the carried list exists and is referenced: zero-grace vacuum must
-    // keep it (and the merged sigs/buckets) while reclaiming the three
-    // superseded singleton dirs (sigs+buckets+resigned each)
+    // keep it (and the merged sigs/buckets/bloom) while reclaiming the
+    // three superseded singletons (sigs+buckets+bloom each, plus the
+    // resigned mirror only epoch 2 wrote — fresh-doc epochs 1 and 3
+    // never publish one)
     val carried = java.nio.file.Paths.get(dir, "resigned/compact-1-3")
     assert(java.nio.file.Files.exists(carried))
-    assert(DedupIndex.vacuum(dir, graceMs = 0L) === 9)
+    assert(DedupIndex.vacuum(dir, graceMs = 0L) === 10)
     assert(java.nio.file.Files.exists(carried),
       "vacuum must not reclaim a merged range's carried resigned list")
     import spark.implicits._
