@@ -99,6 +99,14 @@ object DedupIndex {
       entries.exists(e => epochId >= e.minEpoch && epochId <= e.maxEpoch)
   }
 
+  /** Manifest feature: every entry of this index carries a resigned/
+    * mirror, so readers may resolve supersession with broadcast
+    * anti-joins instead of a latest-per-key groupBy over the whole
+    * store. Established at FIRST-epoch commit only (see
+    * [[IndexManifest.features]]).
+    */
+  val MirrorFeature = "resigned-mirrors"
+
   private def sigsRoot(dir: String): Path = Paths.get(dir, "sigs")
   private def metaDir(dir: String): Path = Paths.get(dir, "meta")
   private def currentPtr(dir: String): Path = metaDir(dir).resolve("CURRENT")
@@ -373,7 +381,8 @@ object DedupIndex {
     */
   private[operators] def appendFrameWithMirrors(
       spark: SparkSession, dir: String, epochId: Long, df: DataFrame,
-      firstEpochFeatures: List[String]): Boolean = {
+      firstEpochFeatures: List[String],
+      keyCol: String = "doc_id"): Boolean = {
     val m = loadManifest(dir)
     if (m.isCommitted(epochId)) return false
     val rel = s"sigs/epoch=$epochId"
@@ -381,18 +390,18 @@ object DedupIndex {
     val tmpSigs = sigsRoot(dir).resolve(s".tmp-epoch-$epochId")
     df.write.mode("overwrite").parquet(tmpSigs.toString)
     val back = spark.read.parquet(tmpSigs.toString)
-    writeBloomSidecar(dir, rel, back, "doc_id")
+    writeBloomSidecar(dir, rel, back, keyCol)
     val overlap = overlappingEntries(spark, dir, m.entries,
-      back.select(col("doc_id")), "doc_id")
+      back.select(col(keyCol)), keyCol)
     val tmpR =
       if (overlap.isEmpty) None
       else {
         val tmp = resignedRoot(dir).resolve(s".tmp-epoch-$epochId")
         Files.createDirectories(resignedRoot(dir))
         spark.read.parquet(overlap.map(e => s"$dir/${e.path}"): _*)
-          .select(col("doc_id"))
-          .join(broadcast(back.select(col("doc_id")).distinct()),
-            Seq("doc_id"), "left_semi")
+          .select(col(keyCol))
+          .join(broadcast(back.select(col(keyCol)).distinct()),
+            Seq(keyCol), "left_semi")
           .distinct()
           .withColumn("last", lit(epochId))
           .write.mode("overwrite").parquet(tmp.toString)
@@ -575,7 +584,7 @@ object DedupIndex {
         val rTmp = resignedRoot(dir).resolve(s".tmp-compact-${m.version + 1}")
         Files.createDirectories(resignedRoot(dir))
         spark.read.parquet(lists: _*)
-          .groupBy(col("doc_id")).agg(max(col("last")).as("last"))
+          .groupBy(col(keyCol)).agg(max(col("last")).as("last"))
           .write.mode("overwrite").parquet(rTmp.toString)
         val rDst = Paths.get(dir, rel.replaceFirst("^sigs/", "resigned/"))
         graft.FsUtil.deleteTree(rDst)
@@ -775,12 +784,13 @@ object DedupIndex {
     * groupBy (one wide shuffle per fold).
     */
   private[operators] def dropSuperseded(df: DataFrame, newDocs: DataFrame,
-                             resigned: Option[DataFrame]): DataFrame = {
-    val a = df.join(broadcast(newDocs), Seq("doc_id"), "left_anti")
+                             resigned: Option[DataFrame],
+                             keyCol: String = "doc_id"): DataFrame = {
+    val a = df.join(broadcast(newDocs), Seq(keyCol), "left_anti")
     resigned match {
       case None => a
       case Some(r) => a.as("b").join(broadcast(r).as("r"),
-          col("b.doc_id") === col("r.doc_id") &&
+          col(s"b.$keyCol") === col(s"r.$keyCol") &&
             col("r.last") > col("b._sig_epoch"), "left_anti")
     }
   }

@@ -21,12 +21,18 @@ import graft.analytics.{DedupQueries, Hashing}
   */
 object EmbeddingIndex {
 
-  /** `vecs`: (vec_id, embedding ARRAY<FLOAT>). Idempotent per epoch. */
+  /** `vecs`: (vec_id, embedding ARRAY<FLOAT>). Idempotent per epoch.
+    * Entries carry the shared layer's resigned/ mirror + Bloom sidecar
+    * keyed on vec_id ([[DedupIndex.appendFrameWithMirrors]]), so folds
+    * resolve supersession with broadcast anti-joins — no latest-per-vec
+    * groupBy over the stored vectors.
+    */
   def appendEpoch(spark: SparkSession, dir: String, epochId: Long,
                   vecs: DataFrame): Boolean =
-    DedupIndex.appendFrame(dir, epochId,
+    DedupIndex.appendFrameWithMirrors(spark, dir, epochId,
       vecs.select(col("vec_id"), col("embedding"))
-        .withColumn("_sig_epoch", lit(epochId)))
+        .withColumn("_sig_epoch", lit(epochId)),
+      List(DedupIndex.MirrorFeature), keyCol = "vec_id")
 
   private def bucketed(s: SparkSession, vecs: DataFrame): DataFrame = {
     val tblCols = (0 until DedupQueries.NearDupTables).map { t =>
@@ -45,7 +51,7 @@ object EmbeddingIndex {
     * cumulative corpus (spec-pinned).
     */
   def epochPairs(spark: SparkSession, dir: String, epochId: Long,
-                 minCos: Double): DataFrame = {
+                 minCos: Double, forceLegacy: Boolean = false): DataFrame = {
     val prior = DedupIndex.committedEpochs(dir).filter(_ < epochId)
     val newV = DedupIndex.readSigs(spark, dir, Seq(epochId))
     val newB = bucketed(spark, newV)
@@ -54,12 +60,22 @@ object EmbeddingIndex {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
         col("x.v").as("va"), col("y.v").as("vb"))
+    val mirrored = !forceLegacy && DedupIndex.loadManifest(dir)
+      .features.contains(DedupIndex.MirrorFeature)
     val all =
       if (prior.isEmpty) within
       else {
-        val priorLive = DedupIndex
-          .latestSigs(DedupIndex.readSigs(spark, dir, prior), "vec_id")
-          .join(newV.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        val priorLive =
+          if (mirrored) {
+            val entries = DedupIndex.priorEntries(dir, epochId)
+            DedupIndex.dropSuperseded(
+              spark.read.parquet(entries.map(e => s"$dir/${e.path}"): _*),
+              newV.select(col("vec_id")),
+              DedupIndex.resignedLists(spark, dir, entries),
+              keyCol = "vec_id")
+          } else DedupIndex
+            .latestSigs(DedupIndex.readSigs(spark, dir, prior), "vec_id")
+            .join(newV.select(col("vec_id")), Seq("vec_id"), "left_anti")
         val oldB = bucketed(spark, priorLive)
         val cross = newB.as("x").join(oldB.as("y"),
             col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&

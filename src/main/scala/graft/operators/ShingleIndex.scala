@@ -62,7 +62,7 @@ object ShingleIndex {
     * which stays correct for them because mirror ABSENCE only means
     * "no resigns" on entries that actually wrote mirrors.
     */
-  val MirrorFeature = "resigned-mirrors"
+  val MirrorFeature: String = DedupIndex.MirrorFeature
 
   /** `docs`: (doc_id, text). Idempotent per epoch; `deletes` tombstone. */
   def appendEpoch(spark: SparkSession, dir: String, epochId: Long,

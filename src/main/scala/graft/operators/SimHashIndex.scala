@@ -15,11 +15,17 @@ import graft.analytics.DedupQueries
   */
 object SimHashIndex {
 
-  /** `docs`: (doc_id, text). Idempotent per epoch. */
+  /** `docs`: (doc_id, text). Idempotent per epoch. Entries carry the
+    * shared layer's resigned/ mirror + Bloom sidecar
+    * ([[DedupIndex.appendFrameWithMirrors]]), so folds resolve
+    * supersession with broadcast anti-joins — no latest-per-doc groupBy
+    * over the stored signatures.
+    */
   def appendEpoch(spark: SparkSession, dir: String, epochId: Long,
                   docs: DataFrame): Boolean =
-    DedupIndex.appendFrame(dir, epochId,
-      DedupQueries.simhash(docs).withColumn("_sig_epoch", lit(epochId)))
+    DedupIndex.appendFrameWithMirrors(spark, dir, epochId,
+      DedupQueries.simhash(docs).withColumn("_sig_epoch", lit(epochId)),
+      List(DedupIndex.MirrorFeature))
 
   private def bucketed(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until 4).map(b =>
@@ -37,7 +43,7 @@ object SimHashIndex {
     * output on the cumulative corpus.
     */
   def epochPairs(spark: SparkSession, dir: String, epochId: Long,
-                 maxDist: Int): DataFrame = {
+                 maxDist: Int, forceLegacy: Boolean = false): DataFrame = {
     val prior = DedupIndex.committedEpochs(dir).filter(_ < epochId)
     val newS = DedupIndex.readSigs(spark, dir, Seq(epochId))
     val newB = bucketed(newS)
@@ -46,12 +52,21 @@ object SimHashIndex {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+    val mirrored = !forceLegacy && DedupIndex.loadManifest(dir)
+      .features.contains(DedupIndex.MirrorFeature)
     val all =
       if (prior.isEmpty) within
       else {
-        val priorLive = DedupIndex
-          .latestSigs(DedupIndex.readSigs(spark, dir, prior))
-          .join(newS.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        val priorLive =
+          if (mirrored) {
+            val entries = DedupIndex.priorEntries(dir, epochId)
+            DedupIndex.dropSuperseded(
+              spark.read.parquet(entries.map(e => s"$dir/${e.path}"): _*),
+              newS.select(col("doc_id")),
+              DedupIndex.resignedLists(spark, dir, entries))
+          } else DedupIndex
+            .latestSigs(DedupIndex.readSigs(spark, dir, prior))
+            .join(newS.select(col("doc_id")), Seq("doc_id"), "left_anti")
         val cross = newB.as("x").join(bucketed(priorLive).as("y"),
             col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
               col("x.doc_id") =!= col("y.doc_id"))
