@@ -130,10 +130,19 @@ object DedupIndex {
   private def bloomPath(dir: String, rel: String): Path =
     Paths.get(dir, rel.replaceFirst("^sigs/", "bloom/"))
 
+  /** `keysAreDistinct`: the frame has at most one row per key (every
+    * modality except the shingle store) — skips the dedup pass, so the
+    * sidecar costs one metadata-count plus one narrow aggregation job.
+    * Duplicate inserts would not corrupt the filter either way; the
+    * flag only avoids paying a shuffle to size it exactly.
+    */
   private[operators] def writeBloomSidecar(dir: String, rel: String,
                                            keys: DataFrame,
-                                           keyCol: String): Unit = {
-    val ids = keys.select(col(keyCol)).distinct().persist()
+                                           keyCol: String,
+                                           keysAreDistinct: Boolean = false)
+      : Unit = {
+    val ids0 = keys.select(col(keyCol))
+    val ids = if (keysAreDistinct) ids0 else ids0.distinct().persist()
     try {
       val n = ids.count()
       // an empty entry (tombstone-only epochs aside, a legal shape) gets
@@ -150,7 +159,7 @@ object DedupIndex {
       val dst = bloomPath(dir, rel)
       Files.deleteIfExists(dst)
       Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
-    } finally ids.unpersist()
+    } finally if (!keysAreDistinct) ids.unpersist()
   }
 
   private def loadBloomSidecar(dir: String, entry: IndexEntry)
@@ -323,7 +332,8 @@ object DedupIndex {
     // bloom/: the entry's doc_id set as a serialized Bloom sidecar —
     // prunes every FUTURE epoch's resigned-overlap scan (below) to the
     // entries that might share a doc with it
-    writeBloomSidecar(dir, s"sigs/epoch=$epochId", back, "doc_id")
+    writeBloomSidecar(dir, s"sigs/epoch=$epochId", back, "doc_id",
+      keysAreDistinct = true)
     // resigned/: (doc_id, last = this epoch) for docs the index already
     // knows (re-signs AND tombstones of indexed docs) — the fold's
     // broadcast supersession filter, replacing a full-index
@@ -382,7 +392,8 @@ object DedupIndex {
   private[operators] def appendFrameWithMirrors(
       spark: SparkSession, dir: String, epochId: Long, df: DataFrame,
       firstEpochFeatures: List[String],
-      keyCol: String = "doc_id"): Boolean = {
+      keyCol: String = "doc_id",
+      keysAreDistinct: Boolean = false): Boolean = {
     val m = loadManifest(dir)
     if (m.isCommitted(epochId)) return false
     val rel = s"sigs/epoch=$epochId"
@@ -390,7 +401,7 @@ object DedupIndex {
     val tmpSigs = sigsRoot(dir).resolve(s".tmp-epoch-$epochId")
     df.write.mode("overwrite").parquet(tmpSigs.toString)
     val back = spark.read.parquet(tmpSigs.toString)
-    writeBloomSidecar(dir, rel, back, keyCol)
+    writeBloomSidecar(dir, rel, back, keyCol, keysAreDistinct)
     val overlap = overlappingEntries(spark, dir, m.entries,
       back.select(col(keyCol)), keyCol)
     val tmpR =

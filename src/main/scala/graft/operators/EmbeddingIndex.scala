@@ -32,7 +32,8 @@ object EmbeddingIndex {
     DedupIndex.appendFrameWithMirrors(spark, dir, epochId,
       vecs.select(col("vec_id"), col("embedding"))
         .withColumn("_sig_epoch", lit(epochId)),
-      List(DedupIndex.MirrorFeature), keyCol = "vec_id")
+      List(DedupIndex.MirrorFeature), keyCol = "vec_id",
+      keysAreDistinct = true)
 
   private def bucketed(s: SparkSession, vecs: DataFrame): DataFrame = {
     val tblCols = (0 until DedupQueries.NearDupTables).map { t =>

@@ -25,7 +25,7 @@ object SimHashIndex {
                   docs: DataFrame): Boolean =
     DedupIndex.appendFrameWithMirrors(spark, dir, epochId,
       DedupQueries.simhash(docs).withColumn("_sig_epoch", lit(epochId)),
-      List(DedupIndex.MirrorFeature))
+      List(DedupIndex.MirrorFeature), keysAreDistinct = true)
 
   private def bucketed(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until 4).map(b =>
