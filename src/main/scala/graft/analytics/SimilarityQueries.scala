@@ -141,28 +141,77 @@ object SimilarityQueries {
     }
 
   private def trainCentroidsUncached(s: SparkSession, d: String,
-      kCentroids: Int, iters: Int): Seq[(Long, Array[Double])] = {
-    var cents = collectCentroids(s, d, kCentroids)
+      kCentroids: Int, iters: Int): Seq[(Long, Array[Double])] =
+    trainOnFrame(s, vecs(s, d), collectCentroids(s, d, kCentroids),
+      iters)._1
+
+  /** One (cid, n, component-sums) aggregation of `e` assigned to the
+    * FIXED centroid set — the Lloyd inner step, also the epoch-side
+    * pass of [[graft.operators.IvfCentroids.refreshEpoch]]. Sums are
+    * the [[KmeansFix]]-scaled LONGS (exact, order-independent).
+    */
+  private[graft] def assignStats(s: SparkSession, e: DataFrame,
+      cents: Seq[(Long, Array[Double])]): Map[Long, (Long, Array[Long])] = {
     val dim = cents.head._2.length
-    val e = vecs(s, d)
-    for (_ <- 0 until iters) {
-      val assigned = e
-        .withColumn("win", nearestCentroid(s, col("v"), cents))
-        .select((-col("win.negid")).as("cid"), col("v"))
-      val sums = (0 until dim).map(i =>
-        sum(round(element_at(col("v"), i + 1) * KmeansFix).cast("long"))
-          .as(s"s_$i"))
-      val rows = assigned.groupBy(col("cid"))
-        .agg(count(lit(1)).as("n"), sums: _*).collect()
-      val upd = rows.map { r =>
-        val n = r.getLong(1)
-        r.getLong(0) ->
-          Array.tabulate(dim)(i => r.getLong(i + 2).toDouble / (n * KmeansFix))
-      }.toMap
-      cents = cents.map { case (id, cv) => (id, upd.getOrElse(id, cv)) }
-    }
-    cents
+    val assigned = e
+      .withColumn("win", nearestCentroid(s, col("v"), cents))
+      .select((-col("win.negid")).as("cid"), col("v"))
+    val sums = (0 until dim).map(i =>
+      sum(round(element_at(col("v"), i + 1) * KmeansFix).cast("long"))
+        .as(s"s_$i"))
+    assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sums: _*).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), Array.tabulate(dim)(i => r.getLong(i + 2))))
+      .toMap
   }
+
+  /** The exact centroid a (n, sums) statistic denotes — the SAME
+    * division as the Lloyd update and the DuckDB oracle
+    * (`s_i/(n*1000000.0)`), so refreshed centroids stay bit-identical
+    * across engines.
+    */
+  private[graft] def statsMean(n: Long, sums: Array[Long]): Array[Double] =
+    sums.map(_.toDouble / (n * KmeansFix))
+
+  /** Seeded Lloyd over an arbitrary (…, v) frame from `init`,
+    * returning the final centroids AND the final iteration's
+    * sufficient statistics (n, scaled sums) per list — the state a
+    * maintained centroid index persists
+    * ([[graft.operators.IvfCentroids.trainWithStats]]): the final
+    * centroid of a non-empty list is EXACTLY statsMean of its stats,
+    * so downstream epoch folds extend the same integer arithmetic. An
+    * empty list keeps its previous centroid with (0, zeros) stats.
+    */
+  private[graft] def trainOnFrame(s: SparkSession, e: DataFrame,
+      init: Seq[(Long, Array[Double])], iters: Int)
+      : (Seq[(Long, Array[Double])], Map[Long, (Long, Array[Long])]) = {
+    var cents = init
+    val dim = init.head._2.length
+    var last = Map.empty[Long, (Long, Array[Long])]
+    for (_ <- 0 until iters) {
+      last = assignStats(s, e, cents)
+      cents = cents.map { case (id, cv) =>
+        (id, last.get(id).map { case (n, ss) => statsMean(n, ss) }
+          .getOrElse(cv))
+      }
+    }
+    val full = cents.map { case (id, _) =>
+      id -> last.getOrElse(id, (0L, Array.fill(dim)(0L)))
+    }.toMap
+    (cents, full)
+  }
+
+  /** First-K (by vec_id) rows of a (vec_id, v) frame — the seeded init
+    * for slice-trained centroid sets.
+    */
+  private[graft] def sliceCentroids(vecsDf: DataFrame,
+      kCentroids: Int): Seq[(Long, Array[Double])] =
+    vecsDf.select(col("vec_id"), col("v")).orderBy(col("vec_id"))
+      .limit(kCentroids).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Number](1).toArray.map(_.doubleValue)))
+      .toSeq.sortBy(_._1)
 
   /** Per-vector inverted-list assignment of a (vec_id, v) frame against
     * a FIXED centroid set — the projection-argmax shape shared by the
@@ -263,7 +312,25 @@ object SimilarityQueries {
     // the sign bits); precision also asserted in DedupSimilaritySpec.
     "s03_ann_lsh" -> ((s, d) => annLsh(s, d, 0.3)),
     "s04_ivf_search" -> ((s, d) =>
-      ivfSearch(s, d, kCentroids = 8, nProbe = 3, nQueries = 10, k = 5))
+      ivfSearch(s, d, kCentroids = 8, nProbe = 3, nQueries = 10, k = 5)),
+
+    // STREAMING centroid maintenance: train on the even-id half,
+    // persist centroids WITH their integer sufficient statistics, fold
+    // the odd-id half as an arriving epoch (assign to current
+    // centroids, add Long sums — no corpus pass, exact arithmetic).
+    // Output is the refreshed state in the integer domain (n + summed
+    // scaled components), so the DuckDB oracle matches hash-exactly.
+    "s05_centroid_refresh" -> ((s, d) => {
+      val dir = graft.FsUtil.scratchDir("s05-cents")
+      val e = vecs(s, d)
+      graft.operators.IvfCentroids.trainWithStats(s, dir,
+        e.filter(pmod(col("vec_id"), lit(2)) === 0), 8, KmeansIters)
+      val st = graft.operators.IvfCentroids.refreshEpoch(s, dir,
+        e.filter(pmod(col("vec_id"), lit(2)) === 1))
+      import s.implicits._
+      st.map(x => (x.cid, x.n, x.sfix.sum))
+        .toDF("centroid_id", "n_vecs", "sum_fix")
+    })
   )
 
   /** DuckDB CTE chain recomputing [[trainCentroids]]' exact iterations:
@@ -369,6 +436,73 @@ object SimilarityQueries {
         |  CAST(row_number() OVER (PARTITION BY p.query_id ORDER BY
         |    round(list_cosine_similarity(p.qv, l.v), 4) DESC, l.vec_id) AS BIGINT) AS rank
         | FROM lists l JOIN probes p ON l.list_id = p.list_id)
-        |WHERE rank <= 5""".stripMargin
+        |WHERE rank <= 5""".stripMargin,
+
+    "s05_centroid_refresh" -> centroidRefreshSql
   )
+
+  /** DuckDB twin of the s05 maintained-centroid fold: Lloyd iterations
+    * over the EVEN-id slice (first-8 even ids seed; each assignment
+    * restricted to the slice), then the odd-id epoch assigned to the
+    * final centroids and merged in the integer domain — the Long sums
+    * and counts are engine-exact, so the refreshed state hashes
+    * identically.
+    */
+  private def centroidRefreshSql: String = {
+    val dim = EmbedDim
+    val k = 8
+    val iters = KmeansIters
+    // per-list component sums for the mean update, plus the component
+    // TOTAL as one aggregate (a 64-term `+` chain trips DuckDB's binder
+    // recursion limit; integer addition commutes, so summing the
+    // per-row component total is the identical value)
+    val sumCols = (0 until dim)
+      .map(i => s"sum(CAST(round(v[${i + 1}]*1000000) AS BIGINT)) AS s_$i")
+      .mkString(", ") +
+      ", CAST(sum(CAST(list_sum(list_transform(v, x -> round(x*1000000)))" +
+      " AS BIGINT)) AS BIGINT) AS stot"
+    val chain = new StringBuilder
+    chain ++=
+      s"""cents0 AS (
+         | SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         | FROM embeddings WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT $k)""".stripMargin
+    for (t <- 1 to iters) {
+      val meanList = (0 until dim)
+        .map(i => s"a.s_$i/(a.n*1000000.0)").mkString("[", ", ", "]")
+      chain ++= s""",
+         |asg$t AS (
+         | SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
+         |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |     round(list_cosine_similarity(c.cv, CAST(e.embedding AS DOUBLE[])), 4) DESC,
+         |     c.cid) AS rn
+         |  FROM embeddings e JOIN cents${t - 1} c ON true
+         |  WHERE e.vec_id % 2 = 0)
+         | WHERE rn = 1),
+         |sums$t AS (
+         | SELECT cid, count(*) AS n, $sumCols FROM asg$t GROUP BY 1),
+         |cents$t AS (
+         | SELECT c.cid, CASE WHEN a.n IS NULL THEN c.cv ELSE $meanList END AS cv
+         | FROM cents${t - 1} c LEFT JOIN sums$t a ON a.cid = c.cid)""".stripMargin
+    }
+    val totalFix = "COALESCE(b.stot, 0)+COALESCE(e.stot, 0)"
+    s"""WITH ${chain.toString},
+       |ep AS (
+       | SELECT vec_id, v, cid FROM (
+       |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
+       |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |     round(list_cosine_similarity(c.cv, CAST(e.embedding AS DOUBLE[])), 4) DESC,
+       |     c.cid) AS rn
+       |  FROM embeddings e JOIN cents$iters c ON true
+       |  WHERE e.vec_id % 2 = 1)
+       | WHERE rn = 1),
+       |eps AS (
+       | SELECT cid, count(*) AS n, $sumCols FROM ep GROUP BY 1)
+       |SELECT c.cid AS centroid_id,
+       | CAST(COALESCE(b.n, 0)+COALESCE(e.n, 0) AS BIGINT) AS n_vecs,
+       | CAST($totalFix AS BIGINT) AS sum_fix
+       |FROM cents$iters c
+       |LEFT JOIN sums$iters b ON b.cid = c.cid
+       |LEFT JOIN eps e ON e.cid = c.cid""".stripMargin
+  }
 }

@@ -90,6 +90,111 @@ object IvfCentroids {
                   epochVecs: DataFrame): DataFrame =
     SimilarityQueries.assignVectors(spark, epochVecs, load(spark, dir))
 
+  /** STREAMING centroid maintenance — the maintained-aggregate move
+    * applied to the centroid set itself. The persisted state is each
+    * list's sufficient statistic (n, KmeansFix-scaled component SUMS as
+    * LONGS) alongside the centroid it denotes (cv = sums/(n·Fix), the
+    * exact Lloyd division): Long sums are associative and
+    * order-independent, so folding an arriving epoch is
+    *   assign epoch to CURRENT centroids (projection argmax, epoch-
+    *   bounded) → aggregate (cid, n_e, sums_e) → state' = state + epoch
+    *   (pure integer addition) → cv' = statsMean(state')
+    * — no corpus pass, no approximation drift in the arithmetic, and
+    * the whole update is DuckDB-expressible (the s05 oracle recomputes
+    * it exactly). A list no epoch ever feeds keeps its trained centroid
+    * with (0, zeros) stats. This is mini-batch k-means with a fixed
+    * assignment per epoch and no decay: each point influences the mean
+    * once, under the centroid set current at its arrival — the
+    * standard prospective semantics of incremental maintenance.
+    */
+  final case class ListStat(cid: Long, cv: Array[Double], n: Long,
+                            sfix: Array[Long])
+
+  /** Persist a full stats state as the new CURRENT version (same swap
+    * protocol; (cid, cv, n, sfix) columns — [[load]] keeps reading the
+    * first two, so stat-era and plain versions interoperate).
+    */
+  def persistStats(spark: SparkSession, dir: String,
+                   stats: Seq[ListStat]): Long = {
+    require(stats.nonEmpty, "empty centroid stats")
+    Files.createDirectories(Paths.get(dir))
+    val v = currentVersion(dir).getOrElse(0L) + 1L
+    import spark.implicits._
+    val tmp = Paths.get(dir, s".tmp-cents-v$v")
+    stats.map(s => (s.cid, s.cv, s.n, s.sfix))
+      .toDF("cid", "cv", "n", "sfix").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val dst = Paths.get(dir, s"cents-v$v.parquet")
+    graft.FsUtil.deleteTree(dst)
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    val ptmp = Paths.get(dir, s".CURRENT.tmp.$v")
+    Files.writeString(ptmp, s"v$v")
+    Files.move(ptmp, currentPtr(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** The CURRENT stats state — requires a stats-era version (train with
+    * [[trainWithStats]]; a plain [[train]]ed set carries no sums to
+    * fold onto, so refreshing it would silently weight history zero —
+    * fail loud instead).
+    */
+  def loadStats(spark: SparkSession, dir: String): Seq[ListStat] = {
+    val v = currentVersion(dir).getOrElse(
+      sys.error(s"no committed centroids at $dir - run trainWithStats() first"))
+    val df = spark.read
+      .parquet(Paths.get(dir, s"cents-v$v.parquet").toString)
+    require(df.columns.contains("sfix"),
+      s"centroid version v$v at $dir has no sufficient statistics - " +
+        "it was trained without stats; retrain with trainWithStats()")
+    df.collect().map(r => ListStat(r.getLong(0),
+        r.getSeq[Double](1).toArray, r.getLong(2),
+        r.getSeq[Long](3).toArray))
+      .toSeq.sortBy(_.cid)
+  }
+
+  /** Seeded Lloyd on `baseVecs` (a (vec_id, v) frame), persisting the
+    * final centroids WITH their sufficient statistics (the last
+    * iteration's assignment sums — the final centroid of a non-empty
+    * list is exactly their mean, so later folds extend the same
+    * integer arithmetic).
+    */
+  def trainWithStats(spark: SparkSession, dir: String, baseVecs: DataFrame,
+                     kCentroids: Int, iters: Int): Seq[ListStat] = {
+    val init = SimilarityQueries.sliceCentroids(baseVecs, kCentroids)
+    val (cents, stats) =
+      SimilarityQueries.trainOnFrame(spark, baseVecs, init, iters)
+    val rows = cents.map { case (cid, cv) =>
+      val (n, ss) = stats(cid)
+      ListStat(cid, cv, n, ss)
+    }
+    persistStats(spark, dir, rows)
+    rows
+  }
+
+  /** Fold an arriving epoch into the maintained centroid state and
+    * commit the refreshed version. Work is epoch-bounded: one
+    * projection-argmax assignment over exactly the epoch's rows, one
+    * narrow aggregate, a K·dim integer merge on the driver.
+    */
+  def refreshEpoch(spark: SparkSession, dir: String,
+                   epochVecs: DataFrame): Seq[ListStat] = {
+    val state = loadStats(spark, dir)
+    val cents = state.map(s => (s.cid, s.cv))
+    val epoch = SimilarityQueries.assignStats(spark, epochVecs, cents)
+    val merged = state.map { s =>
+      epoch.get(s.cid) match {
+        case None => s
+        case Some((nE, ssE)) =>
+          val n = s.n + nE
+          val ss = Array.tabulate(s.sfix.length)(i => s.sfix(i) + ssE(i))
+          ListStat(s.cid, SimilarityQueries.statsMean(n, ss), n, ss)
+      }
+    }
+    persistStats(spark, dir, merged)
+    merged
+  }
+
   /** Delete superseded centroid versions older than the newest
     * `keepLast` — the same meta-growth bound as the signature indexes.
     */

@@ -52,6 +52,51 @@ class IvfCentroidsSpec extends SparkSpec {
     graft.analytics.SessionCaches.release(spark)
   }
 
+  test("refreshEpoch folds an epoch's statistics exactly; untouched lists keep their state") {
+    val dir = tmpDir("ivf-refresh")
+    val base = embVecs.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val epoch = embVecs.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val trained = IvfCentroids.trainWithStats(spark, dir, base, 8, 2)
+    // internal consistency at train time: cv of a fed list IS the mean
+    // its statistic denotes
+    trained.filter(_.n > 0).foreach { s =>
+      assert(s.cv.sameElements(
+        SimilarityQueries.statsMean(s.n, s.sfix)))
+    }
+    assert(trained.map(_.n).sum === base.count(),
+      "every base vector lands in exactly one list")
+    val refreshed = IvfCentroids.refreshEpoch(spark, dir, epoch)
+    assert(refreshed.map(_.n).sum === embVecs.count(),
+      "refresh adds exactly the epoch's vectors")
+    refreshed.filter(_.n > 0).foreach { s =>
+      assert(s.cv.sameElements(
+        SimilarityQueries.statsMean(s.n, s.sfix)))
+    }
+    // integer merge: per-list n and summed components are base + epoch
+    val byCid = trained.map(s => s.cid -> s).toMap
+    refreshed.foreach { s =>
+      val b = byCid(s.cid)
+      assert(s.n >= b.n)
+      if (s.n == b.n) // untouched list: state byte-identical
+        assert(s.sfix.sameElements(b.sfix) && s.cv.sameElements(b.cv))
+    }
+    // an empty epoch changes nothing but still commits a version
+    val again = IvfCentroids.refreshEpoch(spark, dir,
+      embVecs.filter(lit(false)))
+    assert(again.map(s => (s.cid, s.n, s.sfix.toSeq)) ===
+      refreshed.map(s => (s.cid, s.n, s.sfix.toSeq)))
+    graft.analytics.SessionCaches.release(spark)
+  }
+
+  test("loadStats refuses a stats-free centroid version") {
+    val dir = tmpDir("ivf-nostats")
+    IvfCentroids.train(spark, dir, sf, 8, 1)
+    val e = intercept[Exception] { IvfCentroids.loadStats(spark, dir) }
+    assert(e.getMessage.contains("trainWithStats"),
+      s"must fail loud with guidance, got: ${e.getMessage}")
+    graft.analytics.SessionCaches.release(spark)
+  }
+
   test("assignEpoch is a pure projection: no shuffle, no join") {
     val dir = tmpDir("ivf-plan")
     IvfCentroids.train(spark, dir, sf, 8, 1)
