@@ -25,7 +25,18 @@ object FsUtil {
     }
 
   private lazy val scratchRoot: Path = {
-    val r = Files.createTempDirectory("graft-scratch-")
+    // tmpfs when available: scratch index state (the dd08/dd09/dd13
+    // per-invocation dirs) is written and re-read inside the timed
+    // query path, and the sandbox's single virtio disk is both ~5x
+    // slower than tmpfs and shared with every other tenant — the same
+    // rationale as Bench's spark.local.dir/feed-dir placement (cluster
+    // executors get local SSDs). Override with SPARK_GRAFT_SCRATCH.
+    val base = sys.env.get("SPARK_GRAFT_SCRATCH")
+      .map(Paths.get(_))
+      .orElse(Option(Paths.get("/dev/shm"))
+        .filter(p => Files.isDirectory(p) && Files.isWritable(p)))
+      .getOrElse(Paths.get(System.getProperty("java.io.tmpdir")))
+    val r = Files.createTempDirectory(base, "graft-scratch-")
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(r)))
     r
   }

@@ -22,17 +22,54 @@ object DedupQueries {
     * ~30-byte strings), MinHash needs no dedup at all (min over a
     * multiset == min over the set), saving that shuffle entirely.
     */
-  private[graft] def shingles(docs: DataFrame): DataFrame = {
-    val w = split(col("text"), " ")
+  private[graft] def shingles(docs: DataFrame): DataFrame =
+    shingleArr(docs)
+      .select(col("doc_id"), explode(col("_sh_arr")).as("shingle"))
+
+  /** (doc_id, _sh_arr: array<string>) — each doc's word-5-gram shingle
+    * OCCURRENCE array, computed in-row. The words array is materialized
+    * as a COLUMN before the transform lambda slices it: referencing the
+    * derived `split()` inside the lambda re-evaluates the split per
+    * ELEMENT (t17's measured trap, 18.6 s → ~2 s there; here it made
+    * every shingle consumer O(doc_len²) in the signature pass).
+    */
+  private def shingleArr(docs: DataFrame): DataFrame = {
     // guard: Spark's sequence(1, n) turns DESCENDING for n < 1 — a short
     // doc must yield zero shingles, not garbage (DuckDB range() is empty)
-    val idx = when(size(w) >= ShingleLen,
-      sequence(lit(1), size(w) - (ShingleLen - 1)))
+    val idx = when(size(col("_w")) >= ShingleLen,
+      sequence(lit(1), size(col("_w")) - (ShingleLen - 1)))
       .otherwise(array().cast("array<int>"))
-    docs.select(col("doc_id"),
-      explode(transform(idx,
-        i => concat_ws(" ", slice(w, i, lit(ShingleLen))))).as("shingle"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("_w"))
+      .select(col("doc_id"), transform(idx,
+        i => concat_ws(" ", slice(col("_w"), i, lit(ShingleLen))))
+        .as("_sh_arr"))
   }
+
+  /** Per-doc DISTINCT hashed shingle rows (doc_id, shingle: int64),
+    * deduplicated IN-ROW (`array_distinct` over the doc's own hashed
+    * shingle array) instead of a corpus-wide `.distinct()` — the
+    * distinct key contains doc_id, so per-doc dedup IS the global
+    * dedup, and the corpus-words-sized exchange the .distinct() paid
+    * disappears outright (guide §2.4). Same 2^-64 hash-collision
+    * tradeoff note as [[ngramJaccardPairs]].
+    */
+  private[graft] def distinctShingleHashes(docs: DataFrame): DataFrame =
+    shingleArr(docs)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(col("_sh_arr"),
+          s => xxhash64(s)))).as("shingle"))
+
+  /** (doc_id, sh: array<int64>, n_sh) — the doc's distinct hashed
+    * shingle SET with its size, both in-row: the zero-exchange input
+    * of [[graft.operators.ShingleIndex.appendEpoch]] (previously a
+    * distinct + groupBy-count + join-back, three exchanges of the
+    * corpus-words-sized shingle stream).
+    */
+  private[graft] def distinctShingleSets(docs: DataFrame): DataFrame =
+    shingleArr(docs)
+      .select(col("doc_id"),
+        array_distinct(transform(col("_sh_arr"), s => xxhash64(s))).as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast("long"))
 
   /** Candidate near-dup pairs by shared shingle + exact Jaccard.
     * Shape: explode → groupBy(shingle) bucket join → pair-count →
@@ -53,16 +90,16 @@ object DedupQueries {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
                         maxDocFreq: Int = 64): DataFrame = {
-    // NB the distinct dedups (doc_id, HASH) while the oracle dedups raw
-    // shingle strings: an IN-DOCUMENT xxhash64 collision would collapse
-    // two distinct shingles and shift that doc's n_sh/doc-freq counts
-    // off the oracle's. Accepted as a ~2^-64-per-pair risk (vs paying a
-    // ~30-byte-string exchange to dedup before hashing); a cross-document
-    // collision only perturbs one `shared` count against the 4-decimal
-    // Jaccard threshold.
-    val shRaw = SessionCaches.track(shingles(docs)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .distinct())
+    // NB the in-row dedup collapses (doc_id, HASH) while the oracle
+    // dedups raw shingle strings: an IN-DOCUMENT xxhash64 collision
+    // would collapse two distinct shingles and shift that doc's
+    // n_sh/doc-freq counts off the oracle's. Accepted as a
+    // ~2^-64-per-pair risk (vs paying a ~30-byte-string exchange to
+    // dedup before hashing); a cross-document collision only perturbs
+    // one `shared` count against the 4-decimal Jaccard threshold.
+    // Round-6: the dedup happens per-doc in-row (array_distinct), so
+    // the corpus-words-sized `.distinct()` exchange is gone (§2.4).
+    val shRaw = SessionCaches.track(distinctShingleHashes(docs))
     // the HOT set (df > cap) is small by construction — boilerplate
     // shingles are few in kind, huge in frequency — so subtracting it
     // with a broadcast anti-join costs no extra shuffle (a keep-side
@@ -401,9 +438,9 @@ object DedupQueries {
     "dd10_decontamination" -> ((s, d) => {
       val docs = documents(s, d)
       val isEval = pmod(col("doc_id"), lit(20)) === 0
-      def sh(df: DataFrame) = shingles(df)
-        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-        .distinct()
+      // in-row distinct (no corpus-wide exchange) — see
+      // distinctShingleHashes
+      def sh(df: DataFrame) = distinctShingleHashes(df)
       val train = sh(docs.filter(!isEval))
       val eval_ = sh(docs.filter(isEval))
         .withColumnRenamed("doc_id", "eval_id")

@@ -63,8 +63,17 @@ object DocMetrics {
     */
   def repStats(text: Column): Column = {
     val w = words(text)
-    val grams = sort_array(transform(sequence(lit(1), size(w) - 1),
-      i => concat_ws(" ", slice(w, i, lit(2)))))
+    // zip_with over two slices of the words array, NOT a transform
+    // whose lambda slices `w` by index: referencing the derived
+    // split() inside a lambda re-evaluates it per ELEMENT (the t17
+    // trap — O(L²) per doc); zip_with's arguments are evaluated once
+    // per row and its lambda touches only its own element args. Gram
+    // values are identical (w[i] + " " + w[i+1]; split() never yields
+    // nulls, so concat == concat_ws here).
+    val len = greatest(size(w) - 1, lit(0))
+    val grams = sort_array(zip_with(
+      slice(w, lit(1), len), slice(w, lit(2), len),
+      (a, b) => concat(a, lit(" "), b)))
     // fold state: (prev gram, current run length, best finished run,
     // finished-duplicate occurrence count); "" is a safe sentinel —
     // a 2-gram always contains a space

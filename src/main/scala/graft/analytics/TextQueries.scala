@@ -217,27 +217,22 @@ object TextQueries {
 
     // Training-data op: repetition metrics (Gopher-style quality rule
     // family): most-frequent-2-gram fraction + duplicate-2-gram
-    // fraction per doc, with the standard keep/drop flag. Shape:
-    // explode → per-(doc, gram) count → per-doc aggregate — two narrow
-    // hash aggregations, no window, scales like the shingle ops.
-    "t16_repetition_metrics" -> ((s, d) => {
-      val w = words(col("text"))
-      val idx = when(size(w) >= 2, sequence(lit(1), size(w) - 1))
-        .otherwise(array().cast("array<int>"))
-      val grams = documents(s, d).select(col("doc_id"),
-        explode(transform(idx,
-          i => concat_ws(" ", slice(w, i, lit(2))))).as("gram"))
-      grams.groupBy(col("doc_id"), col("gram"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("cnt")).as("top_cnt"),
-          sum(col("cnt")).as("n_grams"),
-          sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_grams"))
-        .select(col("doc_id"),
-          round(col("top_cnt") / col("n_grams"), 4).as("top2gram_frac"),
-          round(col("dup_grams") / col("n_grams"), 4).as("dup2gram_frac"),
-          (col("top_cnt") / col("n_grams") <= 0.2).as("keep"))
-    }),
+    // fraction per doc, with the standard keep/drop flag. Round-6
+    // shape: the explode → per-(doc, gram) count → per-doc aggregate
+    // (TWO corpus-words-sized exchanges) is replaced by the in-row
+    // sort + run-length fold the ingest-maintained metrics path
+    // already uses ([[DocMetrics.repStats]], equality vs the explode
+    // formulation pinned by IngestMetricsSpec) — a pure projection:
+    // zero exchanges, the doc never leaves its row, and the same
+    // values to the last decimal (guide §2.4: remove shuffles
+    // outright).
+    "t16_repetition_metrics" -> ((s, d) => documents(s, d)
+      .withColumn("_rs", DocMetrics.repStats(col("text")))
+      .filter(col("_rs").isNotNull) // <2-word docs have no t16 row
+      .select(col("doc_id"),
+        round(col("_rs.top_cnt") / col("_rs.n_grams"), 4).as("top2gram_frac"),
+        round(col("_rs.dup_grams") / col("_rs.n_grams"), 4).as("dup2gram_frac"),
+        (col("_rs.top_cnt") / col("_rs.n_grams") <= 0.2).as("keep"))),
 
     // Training-data op: the FULL Gopher repetition-rule family (t16
     // covers the 2-gram pair; a real curation run needs all of them):

@@ -107,6 +107,30 @@ object DedupIndex {
     */
   val MirrorFeature = "resigned-mirrors"
 
+  /** Run independent Spark-job-bearing tasks from a small thread pool
+    * (guide-§2.6 "overlap independent jobs"): an append's bucket-table
+    * write, Bloom-sidecar build and resigned-overlap probe all derive
+    * from the already-written signature parquet and share no state, so
+    * running them serially leaves the executors idle through each
+    * job's scheduling/commit tail. Failures propagate: the first
+    * throwable is rethrown after every task finishes (no torn state —
+    * each task writes only its own tmp paths, and the manifest commit
+    * happens strictly after all of them).
+    */
+  private def inParallel(tasks: Seq[() => Unit]): Unit = {
+    if (tasks.size <= 1) { tasks.foreach(_()); return }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = tasks.map { t =>
+      val th = new Thread(() =>
+        try t() catch { case e: Throwable => errs.add(e); () })
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   private def sigsRoot(dir: String): Path = Paths.get(dir, "sigs")
   private def metaDir(dir: String): Path = Paths.get(dir, "meta")
   private def currentPtr(dir: String): Path = metaDir(dir).resolve("CURRENT")
@@ -323,46 +347,59 @@ object DedupIndex {
     Files.createDirectories(sigsRoot(dir))
     sigs.write.mode("overwrite").parquet(tmpSigs.toString)
     val back = spark.read.parquet(tmpSigs.toString)
-    // buckets/: band rows partitioned by directory bucket — the fold's
-    // pruned+broadcast candidate join reads only matching sb dirs
+    // The three side artifacts below all derive from the WRITTEN sig
+    // parquet and share no state — they run as concurrent jobs
+    // ([[inParallel]]) so the append's wall is the slowest of them,
+    // not their sum (guide §2.6; each is a small job whose
+    // scheduling/commit tail would otherwise leave executors idle).
     val tmpB = bucketsRoot(dir).resolve(s".tmp-epoch-$epochId")
-    Files.createDirectories(bucketsRoot(dir))
-    bucketRows(back).write.mode("overwrite")
-      .partitionBy("sb").parquet(tmpB.toString)
-    // bloom/: the entry's doc_id set as a serialized Bloom sidecar —
-    // prunes every FUTURE epoch's resigned-overlap scan (below) to the
-    // entries that might share a doc with it
-    writeBloomSidecar(dir, s"sigs/epoch=$epochId", back, "doc_id",
-      keysAreDistinct = true)
-    // resigned/: (doc_id, last = this epoch) for docs the index already
-    // knows (re-signs AND tombstones of indexed docs) — the fold's
-    // broadcast supersession filter, replacing a full-index
-    // latest-per-doc shuffle. Derived by a narrow doc_id-column scan of
-    // the prior sigs against the broadcast epoch id set — pruned by the
-    // entry Bloom sidecars to entries that might overlap, so on a
-    // fresh-doc feed NO prior bytes are read and no mirror is written
-    // (absence reads as empty, same as a first epoch's missing list).
-    val overlap = overlappingEntries(spark, dir, m.entries,
-      back.select(col("doc_id")), "doc_id")
-    val tmpR =
-      if (overlap.isEmpty) None
-      else {
-        val tmp = resignedRoot(dir).resolve(s".tmp-epoch-$epochId")
-        Files.createDirectories(resignedRoot(dir))
-        spark.read.parquet(overlap.map(e => s"$dir/${e.path}"): _*)
-          .select(col("doc_id"))
-          .join(broadcast(back.select(col("doc_id")).distinct()),
-            Seq("doc_id"), "left_semi")
-          .distinct()
-          .withColumn("last", lit(epochId))
-          .write.mode("overwrite").parquet(tmp.toString)
-        // a Bloom false positive can select entries that share nothing:
-        // never publish an EMPTY mirror (absence already means empty,
-        // and keeps vacuum/reader dir counts deterministic)
-        if (spark.read.parquet(tmp.toString).head(1).isEmpty) {
-          graft.FsUtil.deleteTree(tmp); None
-        } else Some(tmp)
-      }
+    val tmpRRef = new java.util.concurrent.atomic.AtomicReference[Option[Path]](None)
+    inParallel(Seq(
+      // buckets/: band rows partitioned by directory bucket — the
+      // fold's pruned+broadcast candidate join reads only matching sb
+      // dirs
+      () => {
+        Files.createDirectories(bucketsRoot(dir))
+        bucketRows(back).write.mode("overwrite")
+          .partitionBy("sb").parquet(tmpB.toString)
+      },
+      // bloom/: the entry's doc_id set as a serialized Bloom sidecar —
+      // prunes every FUTURE epoch's resigned-overlap scan (below) to
+      // the entries that might share a doc with it
+      () => writeBloomSidecar(dir, s"sigs/epoch=$epochId", back, "doc_id",
+        keysAreDistinct = true),
+      // resigned/: (doc_id, last = this epoch) for docs the index
+      // already knows (re-signs AND tombstones of indexed docs) — the
+      // fold's broadcast supersession filter, replacing a full-index
+      // latest-per-doc shuffle. Derived by a narrow doc_id-column scan
+      // of the prior sigs against the broadcast epoch id set — pruned
+      // by the PRIOR entries' Bloom sidecars to entries that might
+      // overlap, so on a fresh-doc feed NO prior bytes are read and no
+      // mirror is written (absence reads as empty, same as a first
+      // epoch's missing list).
+      () => {
+        val overlap = overlappingEntries(spark, dir, m.entries,
+          back.select(col("doc_id")), "doc_id")
+        if (overlap.nonEmpty) {
+          val tmp = resignedRoot(dir).resolve(s".tmp-epoch-$epochId")
+          Files.createDirectories(resignedRoot(dir))
+          spark.read.parquet(overlap.map(e => s"$dir/${e.path}"): _*)
+            .select(col("doc_id"))
+            .join(broadcast(back.select(col("doc_id")).distinct()),
+              Seq("doc_id"), "left_semi")
+            .distinct()
+            .withColumn("last", lit(epochId))
+            .write.mode("overwrite").parquet(tmp.toString)
+          // a Bloom false positive can select entries that share
+          // nothing: never publish an EMPTY mirror (absence already
+          // means empty, and keeps vacuum/reader dir counts
+          // deterministic)
+          if (spark.read.parquet(tmp.toString).head(1).isEmpty)
+            graft.FsUtil.deleteTree(tmp)
+          else tmpRRef.set(Some(tmp))
+        }
+      }))
+    val tmpR = tmpRRef.get()
     // publish all three, then commit — a crash before the manifest swap
     // leaves only orphans the retry overwrites
     def publish(tmp: Path, rel: String): Unit = {
@@ -401,28 +438,35 @@ object DedupIndex {
     val tmpSigs = sigsRoot(dir).resolve(s".tmp-epoch-$epochId")
     df.write.mode("overwrite").parquet(tmpSigs.toString)
     val back = spark.read.parquet(tmpSigs.toString)
-    writeBloomSidecar(dir, rel, back, keyCol, keysAreDistinct)
-    val overlap = overlappingEntries(spark, dir, m.entries,
-      back.select(col(keyCol)), keyCol)
-    val tmpR =
-      if (overlap.isEmpty) None
-      else {
-        val tmp = resignedRoot(dir).resolve(s".tmp-epoch-$epochId")
-        Files.createDirectories(resignedRoot(dir))
-        spark.read.parquet(overlap.map(e => s"$dir/${e.path}"): _*)
-          .select(col(keyCol))
-          .join(broadcast(back.select(col(keyCol)).distinct()),
-            Seq(keyCol), "left_semi")
-          .distinct()
-          .withColumn("last", lit(epochId))
-          .write.mode("overwrite").parquet(tmp.toString)
-        // a Bloom false positive can select entries that share nothing:
-        // never publish an EMPTY mirror (absence already means empty,
-        // and keeps vacuum/reader dir counts deterministic)
-        if (spark.read.parquet(tmp.toString).head(1).isEmpty) {
-          graft.FsUtil.deleteTree(tmp); None
-        } else Some(tmp)
-      }
+    // Bloom sidecar and resigned-overlap probe are independent jobs
+    // over the written parquet — overlap them (guide §2.6; the probe
+    // reads only PRIOR entries' sidecars, never this epoch's).
+    val tmpRRef = new java.util.concurrent.atomic.AtomicReference[Option[Path]](None)
+    inParallel(Seq(
+      () => writeBloomSidecar(dir, rel, back, keyCol, keysAreDistinct),
+      () => {
+        val overlap = overlappingEntries(spark, dir, m.entries,
+          back.select(col(keyCol)), keyCol)
+        if (overlap.nonEmpty) {
+          val tmp = resignedRoot(dir).resolve(s".tmp-epoch-$epochId")
+          Files.createDirectories(resignedRoot(dir))
+          spark.read.parquet(overlap.map(e => s"$dir/${e.path}"): _*)
+            .select(col(keyCol))
+            .join(broadcast(back.select(col(keyCol)).distinct()),
+              Seq(keyCol), "left_semi")
+            .distinct()
+            .withColumn("last", lit(epochId))
+            .write.mode("overwrite").parquet(tmp.toString)
+          // a Bloom false positive can select entries that share
+          // nothing: never publish an EMPTY mirror (absence already
+          // means empty, and keeps vacuum/reader dir counts
+          // deterministic)
+          if (spark.read.parquet(tmp.toString).head(1).isEmpty)
+            graft.FsUtil.deleteTree(tmp)
+          else tmpRRef.set(Some(tmp))
+        }
+      }))
+    val tmpR = tmpRRef.get()
     def publish(tmp: Path, r: String): Unit = {
       val dst = Paths.get(dir, r)
       graft.FsUtil.deleteTree(dst)
@@ -977,10 +1021,9 @@ object DedupIndex {
           "dropped (pass the full corpus, or requireFullCorpus=false)")
     }
     // hashed-shingle dedup — same 2^-64 tradeoff note as
-    // DedupQueries.ngramJaccardPairs
-    val sh = DedupQueries.shingles(candDocs)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .distinct()
+    // DedupQueries.ngramJaccardPairs; in-row distinct, no exchange
+    // (round-6, guide §2.4)
+    val sh = DedupQueries.distinctShingleHashes(candDocs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))

@@ -87,23 +87,37 @@ object MetricsIndex {
       case Some(del) => live.unionByName(del.select(col("doc_id") +:
         metricSchema.map { case (n, t) => lit(null).cast(t).as(n) }: _*))
     }
-    DedupIndex.appendFrame(dir, epochId,
-      rows.withColumn("_sig_epoch", lit(epochId)))
+    // mirrors + Bloom sidecar per entry: an updated/deleted url's older
+    // metric row is dropped at read time by broadcast anti-join against
+    // the tiny resigned/ list instead of a latest-per-doc groupBy over
+    // the whole metrics table (round-6; the round-5 verdict flagged
+    // this read path alongside the ClusterIndex fold)
+    DedupIndex.appendFrameWithMirrors(spark, dir, epochId,
+      rows.withColumn("_sig_epoch", lit(epochId)),
+      List(DedupIndex.MirrorFeature))
   }
 
   /** Current metrics: latest row per doc, tombstones dropped — one
     * narrow scan of the committed entries (post-compaction: one merged
-    * dir + the freshest epoch).
+    * dir + the freshest epoch); supersession resolved by broadcast
+    * anti-joins on mirror-era indexes, by the latest-per-doc groupBy on
+    * legacy dirs.
     */
   def readLive(spark: SparkSession, dir: String): DataFrame = {
-    val epochs = DedupIndex.committedEpochs(dir)
-    if (epochs.isEmpty)
-      spark.createDataFrame(
+    val m = DedupIndex.loadManifest(dir)
+    if (m.entries.isEmpty)
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], liveSchema)
-    else
-      DedupIndex.latestSigs(DedupIndex.readSigs(spark, dir, epochs))
-        .filter(col("ws_tokens").isNotNull)
-        .drop("_sig_epoch")
+    val base =
+      if (m.features.contains(DedupIndex.MirrorFeature))
+        DedupIndex.dropSuperseded(
+          spark.read.parquet(m.entries.map(e => s"$dir/${e.path}"): _*),
+          spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0),
+          DedupIndex.resignedLists(spark, dir, m.entries))
+      else
+        DedupIndex.latestSigs(
+          DedupIndex.readSigs(spark, dir, m.epochs))
+    base.filter(col("ws_tokens").isNotNull).drop("_sig_epoch")
   }
 
   /** Threshold-driven compaction/vacuum — delegates to the shared

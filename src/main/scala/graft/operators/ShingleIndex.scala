@@ -68,11 +68,13 @@ object ShingleIndex {
   def appendEpoch(spark: SparkSession, dir: String, epochId: Long,
                   docs: DataFrame,
                   deletes: Option[DataFrame] = None): Boolean = {
-    val sh = DedupQueries.shingles(docs)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .distinct()
-    val sized = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val live = sh.join(sized, Seq("doc_id"))
+    // round-6: the distinct set and its size are computed IN-ROW
+    // (DedupQueries.distinctShingleSets) — the previous distinct +
+    // groupBy-count + join-back paid THREE exchanges of the
+    // corpus-words-sized shingle stream per epoch; the append is now a
+    // pure projection + explode, zero exchanges (guide §2.4)
+    val live = DedupQueries.distinctShingleSets(docs)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"), col("n_sh"))
       .select(col("doc_id"), col("shingle"), col("n_sh"))
     val rows = deletes match {
       case None => live
