@@ -22,26 +22,44 @@ object DedupQueries {
     * ~30-byte strings), MinHash needs no dedup at all (min over a
     * multiset == min over the set), saving that shuffle entirely.
     */
-  private[graft] def shingles(docs: DataFrame): DataFrame =
-    shingleArr(docs)
-      .select(col("doc_id"), explode(col("_sh_arr")).as("shingle"))
-
-  /** (doc_id, _sh_arr: array<string>) — each doc's word-5-gram shingle
-    * OCCURRENCE array, computed in-row. The words array is materialized
-    * as a COLUMN before the transform lambda slices it: referencing the
-    * derived `split()` inside the lambda re-evaluates the split per
-    * ELEMENT (t17's measured trap, 18.6 s → ~2 s there; here it made
-    * every shingle consumer O(doc_len²) in the signature pass).
+  /** Round-6 shape: explode the cheap INDEX sequence and build each
+    * shingle string in the projection ABOVE the Generate — every
+    * expression on the path (split, slice, concat_ws) is codegen'd,
+    * and the expensive work is never duplicated into an inferred
+    * pre-Generate filter. The previous transform-lambda formulation
+    * lost twice: higher-order functions run interpreted per element,
+    * and InferFiltersFromGenerate synthesizes a
+    * `size(transform(...)) > 0` predicate that predicate-pushdown then
+    * re-inlines BELOW the scan-side fan-out — the full shingle array
+    * was being computed two extra times on the single scan partition
+    * (measured: 1.5-2 s of the dd08 signature pass at sf0.1).
     */
-  private def shingleArr(docs: DataFrame): DataFrame = {
+  private[graft] def shingles(docs: DataFrame): DataFrame = {
     // guard: Spark's sequence(1, n) turns DESCENDING for n < 1 — a short
     // doc must yield zero shingles, not garbage (DuckDB range() is empty)
     val idx = when(size(col("_w")) >= ShingleLen,
       sequence(lit(1), size(col("_w")) - (ShingleLen - 1)))
       .otherwise(array().cast("array<int>"))
     docs.select(col("doc_id"), split(col("text"), " ").as("_w"))
-      .select(col("doc_id"), transform(idx,
-        i => concat_ws(" ", slice(col("_w"), i, lit(ShingleLen))))
+      .select(col("doc_id"), col("_w"), explode(idx).as("_i"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("_w"), col("_i"), lit(ShingleLen)))
+          .as("shingle"))
+  }
+
+  /** (doc_id, _sh_arr: array<bigint>) — each doc's DISTINCT hashed
+    * shingle set as an in-row array. The words array is materialized
+    * as a COLUMN before the transform lambda slices it: referencing
+    * the derived `split()` inside the lambda re-evaluates the split
+    * per ELEMENT (t17's measured trap, 18.6 s → ~2 s there).
+    */
+  private def distinctShingleArr(docs: DataFrame): DataFrame = {
+    val idx = when(size(col("_w")) >= ShingleLen,
+      sequence(lit(1), size(col("_w")) - (ShingleLen - 1)))
+      .otherwise(array().cast("array<int>"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("_w"))
+      .select(col("doc_id"), array_distinct(transform(idx,
+        i => xxhash64(concat_ws(" ", slice(col("_w"), i, lit(ShingleLen))))))
         .as("_sh_arr"))
   }
 
@@ -51,13 +69,18 @@ object DedupQueries {
     * distinct key contains doc_id, so per-doc dedup IS the global
     * dedup, and the corpus-words-sized exchange the .distinct() paid
     * disappears outright (guide §2.4). Same 2^-64 hash-collision
-    * tradeoff note as [[ngramJaccardPairs]].
+    * tradeoff note as [[ngramJaccardPairs]]. `explode_outer` + null
+    * filter, NOT explode: InferFiltersFromGenerate fires only on the
+    * non-outer form, and its inferred size() predicate would re-run
+    * the whole array build below the scan fan-out (see [[shingles]]);
+    * a doc's hash is never null, so the filter drops exactly the
+    * empty-set placeholder rows the plain explode never emitted.
     */
   private[graft] def distinctShingleHashes(docs: DataFrame): DataFrame =
-    shingleArr(docs)
+    distinctShingleArr(docs)
       .select(col("doc_id"),
-        explode(array_distinct(transform(col("_sh_arr"),
-          s => xxhash64(s)))).as("shingle"))
+        explode_outer(col("_sh_arr")).as("shingle"))
+      .filter(col("shingle").isNotNull)
 
   /** (doc_id, sh: array<int64>, n_sh) — the doc's distinct hashed
     * shingle SET with its size, both in-row: the zero-exchange input
@@ -66,9 +89,8 @@ object DedupQueries {
     * corpus-words-sized shingle stream).
     */
   private[graft] def distinctShingleSets(docs: DataFrame): DataFrame =
-    shingleArr(docs)
-      .select(col("doc_id"),
-        array_distinct(transform(col("_sh_arr"), s => xxhash64(s))).as("sh"))
+    distinctShingleArr(docs)
+      .select(col("doc_id"), col("_sh_arr").as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
 
   /** Candidate near-dup pairs by shared shingle + exact Jaccard.

@@ -246,64 +246,87 @@ object TextQueries {
     // aggregates and a width-9 conditional pivot — the t16 shape, x9
     // fan-out, no window, no join, corpus-scan-count unchanged.
     "t17_gopher_repetition" -> ((s, d) => {
-      // Two performance rules learned the hard way here (18.6 s -> ~2 s
-      // at sf0.1): (1) NEVER reference a derived expression inside a
-      // transform() lambda — it re-evaluates per ELEMENT (the words
-      // split was running once per gram), so words/word-hashes/word-
-      // lengths materialize as columns first; (2) grams are identified
-      // by a hash of their WORD-HASH tuple and their char length by a
-      // sum of word lengths + separators — no gram string is ever
-      // built, and the count exchange carries fixed-width rows (the
-      // dd03 hashing tradeoff, 2^-64 within-doc collision odds,
-      // oracle-checked: length(concat_ws(" ", ws)) ==
-      // sum(length(w)) + n - 1 by construction).
+      // Performance rules this query accumulated: (1) NEVER reference
+      // a derived expression inside a transform() lambda — it
+      // re-evaluates per ELEMENT (the words split was running once per
+      // gram; 18.6 s -> ~2 s), so word-hashes/word-lengths materialize
+      // as columns first; (2) grams are identified by a hash of their
+      // WORD-HASH tuple and their char length by a sum of word lengths
+      // + separators — no gram string is ever built (the dd03 hashing
+      // tradeoff, 2^-64 within-doc collision odds, oracle-checked:
+      // length(concat_ws(" ", ws)) == sum(length(w)) + n - 1 by
+      // construction); (3) round-6: the whole metric is computed
+      // IN-ROW — per gram size, sort the doc's (hash, len) gram array
+      // and run-length-fold it (the t16/DocMetrics.repStats shape),
+      // giving max(cnt·len) and sum(cnt·len | cnt>1) per n as pure
+      // projections. The previous explode → two hash aggregates pushed
+      // ~9·|words| rows per doc (≈13M rows at sf0.1, corpus-grams-
+      // sized at scale) through TWO exchanges; now the doc never
+      // leaves its row and the query has zero exchanges (guide §2.4).
       val wv = words(col("text"))
       val base = documents(s, d).select(col("doc_id"),
         length(col("text")).as("n_len"),
         transform(wv, x => xxhash64(x)).as("wh"),
         transform(wv, x => length(x)).as("wl"))
-      val gramArrays = (2 to 10).map { n =>
-        when(size(col("wh")) >= n,
+        .filter(size(col("wh")) >= 2) // <2-word docs have no t17 row
+      // sorted per-n gram array: struct(h, len) — wh/wl are BOUND
+      // columns, so the lambda touches only array lookups
+      def gramsN(n: Int): Column =
+        when(size(col("wh")) >= n, sort_array(
           transform(sequence(lit(1), size(col("wh")) - n + 1), i =>
-            struct(lit(n).as("n"),
+            struct(
               xxhash64((0 until n).map(k =>
                 element_at(col("wh"), i + k)): _*).as("h"),
               ((0 until n).map(k => element_at(col("wl"), i + k))
-                .reduce(_ + _) + lit(n - 1)).as("len"))))
-          .otherwise(array().cast("array<struct<n:int,h:bigint,len:int>>"))
+                .reduce(_ + _) + lit(n - 1)).cast("long").as("len")))))
+          .otherwise(array().cast("array<struct<h:bigint,len:bigint>>"))
+      // run-length fold over the sorted grams: runs are distinct grams
+      // (cnt = run length, len constant within a run), so
+      //   top_chars = max over runs of run·len
+      //   dup_chars = sum over runs with run>1 of run·len
+      // — the exact values the explode+aggregate produced. The null
+      // `prev` sentinel makes the first element start a run (<=> null
+      // is false for any hash).
+      def repFold(grams: Column): Column = {
+        val zero = struct(lit(null).cast("long").as("prev"),
+          lit(0L).as("run"), lit(0L).as("len"),
+          lit(0L).as("top"), lit(0L).as("dup"))
+        aggregate(grams, zero,
+          (acc, x) => {
+            val same = x("h") <=> acc("prev")
+            struct(
+              x("h").as("prev"),
+              when(same, acc("run") + lit(1L)).otherwise(lit(1L)).as("run"),
+              x("len").as("len"),
+              when(same, acc("top"))
+                .otherwise(greatest(acc("top"), acc("run") * acc("len")))
+                .as("top"),
+              when(same, acc("dup"))
+                .otherwise(acc("dup") + when(acc("run") > 1L,
+                  acc("run") * acc("len")).otherwise(lit(0L)))
+                .as("dup"))
+          },
+          acc => struct(
+            greatest(acc("top"), acc("run") * acc("len")).as("top_chars"),
+            (acc("dup") + when(acc("run") > 1L, acc("run") * acc("len"))
+              .otherwise(lit(0L))).as("dup_chars")))
       }
-      val wide = base
-        .select(col("doc_id"), col("n_len"),
-          explode(flatten(array(gramArrays: _*))).as("g"))
-        .groupBy(col("doc_id"), col("n_len"), col("g.n").as("n"),
-          col("g.h").as("gram_h"), col("g.len").as("gram_len"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("doc_id"), col("n_len"), col("n"))
-        .agg(max(col("cnt") * col("gram_len")).as("top_chars"),
-          sum(when(col("cnt") > 1, col("cnt") * col("gram_len"))
-            .otherwise(0L)).as("dup_chars"))
-        .groupBy(col("doc_id"), col("n_len"))
-        .agg(
-          max(when(col("n") === 2, col("top_chars"))).as("tc2"),
-          max(when(col("n") === 3, col("top_chars"))).as("tc3"),
-          max(when(col("n") === 4, col("top_chars"))).as("tc4"),
-          max(when(col("n") === 5, col("dup_chars"))).as("dc5"),
-          max(when(col("n") === 6, col("dup_chars"))).as("dc6"),
-          max(when(col("n") === 7, col("dup_chars"))).as("dc7"),
-          max(when(col("n") === 8, col("dup_chars"))).as("dc8"),
-          max(when(col("n") === 9, col("dup_chars"))).as("dc9"),
-          max(when(col("n") === 10, col("dup_chars"))).as("dc10"))
+      val wide = base.select(col("doc_id") +: col("n_len") +:
+        (2 to 10).map(n => repFold(gramsN(n)).as(s"f$n")): _*)
       val thrTop = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
       val thrDup = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
         9 -> 0.11, 10 -> 0.10)
-      def frac(c: String) =
-        round(coalesce(col(c), lit(0L)) / col("n_len"), 4)
+      // a doc shorter than n words has an empty gram array whose fold
+      // yields 0 — identical to the explode path's missing-group NULL
+      // after its coalesce(…, 0)
+      def fracT(n: Int) = round(col(s"f$n.top_chars") / col("n_len"), 4)
+      def fracD(n: Int) = round(col(s"f$n.dup_chars") / col("n_len"), 4)
       val fracs =
-        (2 to 4).map(n => frac(s"tc$n").as(s"top${n}_char_frac")) ++
-        (5 to 10).map(n => frac(s"dc$n").as(s"dup${n}_char_frac"))
+        (2 to 4).map(n => fracT(n).as(s"top${n}_char_frac")) ++
+        (5 to 10).map(n => fracD(n).as(s"dup${n}_char_frac"))
       val keep =
-        ((2 to 4).map(n => frac(s"tc$n") <= thrTop(n)) ++
-         (5 to 10).map(n => frac(s"dc$n") <= thrDup(n))).reduce(_ && _)
+        ((2 to 4).map(n => fracT(n) <= thrTop(n)) ++
+         (5 to 10).map(n => fracD(n) <= thrDup(n))).reduce(_ && _)
       wide.select(col("doc_id") +: fracs :+ keep.as("gopher_keep"): _*)
     }),
 

@@ -39,6 +39,61 @@ object ProbeDd08 {
     }
     println("PROBE control " + PlatformControl.run(spark))
 
+    // expression-stage bisect
+    (1 to 2).foreach { r =>
+      val docs0 = graft.analytics.Tables.documents(spark, sfDir)
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+      t(s"b$r docs-count") { docs0.count() }
+      println(s"PROBE b$r docs-partitions " + docs0.rdd.getNumPartitions)
+      val sh = graft.analytics.DedupQueries.shingles(docs0)
+      if (r == 1) println("PLANDUMP\n" +
+        sh.queryExecution.optimizedPlan.toString.take(3000))
+      t(s"b$r shingles-count") { sh.count() }
+      println(s"PROBE b$r shingle-partitions " + sh.rdd.getNumPartitions)
+      val shM = sh.persist()
+      t(s"b$r shingles-count-warm") { shM.count() }
+      t(s"b$r shingles-count-cached") { shM.count() }
+      shM.unpersist()
+      t(s"b$r h31-agg") {
+        sh.select(graft.analytics.Hashing.h31(col("shingle")).as("h"))
+          .agg(max(col("h"))).collect()
+      }
+      t(s"b$r sig-noop") {
+        graft.analytics.DedupQueries.minhashSignatures(docs0)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
+    // sub-step timings of one append's constituent jobs
+    (1 to 2).foreach { r =>
+      val docs0 = graft.analytics.Tables.documents(spark, sfDir)
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+      val dir0 = graft.FsUtil.scratchDir("probe-sub")
+      val sigs = graft.analytics.DedupQueries.minhashSignatures(docs0)
+        .withColumn("_sig_epoch", lit(0L))
+      t(s"s$r sig-noop") {
+        sigs.write.format("noop").mode("overwrite").save()
+      }
+      t(s"s$r sig-write") {
+        sigs.write.mode("overwrite").parquet(s"$dir0/sigs")
+      }
+      val back = spark.read.parquet(s"$dir0/sigs")
+      t(s"s$r buckets-write") {
+        graft.analytics.DedupQueries
+          .sigBuckets(back.filter(col("mh_0").isNotNull),
+            carry = Seq("_sig_epoch"))
+          .withColumn("sb", pmod(xxhash64(col("band"), col("bkt.r0"),
+            col("bkt.r1"), col("bkt.r2"), col("bkt.r3")), lit(16)))
+          .write.mode("overwrite").partitionBy("sb")
+          .parquet(s"$dir0/buckets")
+      }
+      t(s"s$r bloom") {
+        val n = back.count()
+        back.select(col("doc_id")).stat.bloomFilter("doc_id",
+          math.max(n, 1L), 0.01)
+      }
+    }
+
     (1 to 2).foreach { round =>
       val dir = graft.FsUtil.scratchDir("probe-dd08")
       val docs = graft.analytics.Tables.documents(spark, sfDir)

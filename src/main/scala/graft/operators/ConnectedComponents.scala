@@ -71,9 +71,18 @@ object ConnectedComponents {
           maxRounds: Int = MaxRounds): CCResult = {
     val Array(cSrc, cDst) = pairs.columns.take(2)
     val p = pairs.select(col(cSrc).as("src"), col(cDst).as("dst"))
+    // clamp to a sane Int range before it feeds limit(): a value above
+    // Int.MaxValue would overflow to a negative/garbage limit, and a
+    // non-numeric value should fail with the conf name, not a bare NFE
     val localCap = spark.conf
       .getOption("spark.graft.cc.localEdges")
-      .map(_.toLong).getOrElse(LocalSolveEdges.toLong)
+      .map { v =>
+        val n = try v.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.cc.localEdges must be a long, got '$v'")
+        }
+        math.min(math.max(n, 0L), (Int.MaxValue - 1).toLong)
+      }.getOrElse(LocalSolveEdges.toLong)
     if (localCap > 0) {
       // one evaluation, early-terminated: at most localCap+1 rows ever
       // reach the driver, and if they all fit we already hold the graph

@@ -928,6 +928,18 @@ object DedupIndex {
                 eEntry.path.replaceFirst("^sigs/", "buckets/"))),
               s"index at $dir has no buckets/ layout for epoch " +
                 s"$epochId - rebuild it, or fold with useBuckets=false")
+            // mixed-era guard (round-5 advice): bucketLeafDirs filters
+            // by Files.exists, so a PRIOR entry written before the
+            // bucketed layout would silently contribute zero candidate
+            // paths — dropping all cross-epoch pairs against it. Every
+            // prior entry must carry a buckets/ root (an entry with no
+            // live sigs still publishes the dir); fail loud otherwise.
+            val legacyPriors = priors.filterNot(e => Files.exists(
+              Paths.get(dir, e.path.replaceFirst("^sigs/", "buckets/"))))
+            require(legacyPriors.isEmpty,
+              s"index at $dir has no buckets/ layout for prior " +
+                s"entries ${legacyPriors.map(_.path).mkString(", ")} - " +
+                "rebuild it, or fold with useBuckets=false")
             val sbs = entrySbs(dir, eEntry)
             val paths = priors.flatMap(e => bucketLeafDirs(dir, e, sbs))
             if (paths.isEmpty)

@@ -47,11 +47,25 @@ object IvfCentroids {
     val dst = Paths.get(dir, s"cents-v$v.parquet")
     graft.FsUtil.deleteTree(dst)
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    commitCurrent(dir, v)
+    v
+  }
+
+  /** Swap CURRENT to `v` with a commitManifest-style expected-version
+    * check: two concurrent writers that both chose `v` would otherwise
+    * deleteTree each other's committed parquet and last-wins the swap —
+    * a lost retrain, or a reader seeing a vanished version. The loser
+    * now fails loudly instead (single-writer posture, like the
+    * signature indexes).
+    */
+  private def commitCurrent(dir: String, v: Long): Unit = {
+    val cur = currentVersion(dir).getOrElse(0L)
+    require(cur == v - 1,
+      s"concurrent centroid commit at $dir: CURRENT=v$cur, expected v${v - 1}")
     val ptmp = Paths.get(dir, s".CURRENT.tmp.$v")
     Files.writeString(ptmp, s"v$v")
     Files.move(ptmp, currentPtr(dir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    v
   }
 
   private def currentVersion(dir: String): Option[Long] =
@@ -127,10 +141,7 @@ object IvfCentroids {
     val dst = Paths.get(dir, s"cents-v$v.parquet")
     graft.FsUtil.deleteTree(dst)
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
-    val ptmp = Paths.get(dir, s".CURRENT.tmp.$v")
-    Files.writeString(ptmp, s"v$v")
-    Files.move(ptmp, currentPtr(dir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    commitCurrent(dir, v)
     v
   }
 

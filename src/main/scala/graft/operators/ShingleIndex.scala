@@ -73,8 +73,14 @@ object ShingleIndex {
     // groupBy-count + join-back paid THREE exchanges of the
     // corpus-words-sized shingle stream per epoch; the append is now a
     // pure projection + explode, zero exchanges (guide §2.4)
+    // explode_outer + null filter (not explode): the non-outer form
+    // triggers InferFiltersFromGenerate, whose size() predicate is
+    // pushed below the scan fan-out and re-runs the whole array build
+    // on the scan partition (see DedupQueries.distinctShingleHashes)
     val live = DedupQueries.distinctShingleSets(docs)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"), col("n_sh"))
+      .select(col("doc_id"), explode_outer(col("sh")).as("shingle"),
+        col("n_sh"))
+      .filter(col("shingle").isNotNull)
       .select(col("doc_id"), col("shingle"), col("n_sh"))
     val rows = deletes match {
       case None => live
@@ -229,8 +235,20 @@ object ShingleIndex {
   def contamination(spark: SparkSession, dir: String, epochId: Long,
                     evalIds: DataFrame): DataFrame = {
     val ids = evalIds.select(col("doc_id"))
-    val epoch = DedupIndex.readSigs(spark, dir, Seq(epochId))
-      .filter(col("shingle").isNotNull)
+    // round-5 advice: drop epoch rows superseded by LATER re-signs —
+    // without this, a train doc re-signed after `epochId` reported
+    // both its stale and new sets in the union over epochs, diverging
+    // from batch dd10. Broadcast anti-join against the later entries'
+    // tiny resigned/ lists (absent on legacy dirs → unchanged
+    // prospective semantics there).
+    val m = DedupIndex.loadManifest(dir)
+    val laterResigns = DedupIndex.resignedLists(spark, dir,
+      m.entries.filter(_.maxEpoch > epochId))
+    val epoch = DedupIndex.dropSuperseded(
+        DedupIndex.readSigs(spark, dir, Seq(epochId))
+          .filter(col("shingle").isNotNull),
+        spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0),
+        laterResigns)
       .select(col("doc_id"), col("shingle"))
       .join(broadcast(ids), Seq("doc_id"), "left_anti")
     val eval_ = liveRows(spark, dir, before = None, excludeDocs = None,

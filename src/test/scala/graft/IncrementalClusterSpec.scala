@@ -192,6 +192,32 @@ class IncrementalClusterSpec extends SparkSpec {
     assert(ShingleIndex.contamination(spark, dir, 1L, evalIds).count() === 0)
   }
 
+  test("a re-signed train doc reports only its latest set in the epoch union") {
+    // round-5 advice: without supersession on the epoch side, the
+    // union over epochs reported doc 1 twice (stale + new set)
+    val dir = tmpDir("dd15-resign")
+    val w1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val w2 = "one two three four five six seven eight nine ten"
+    val evalIds = Seq(Tuple1(100L)).toDF("doc_id")
+    // epoch 0: eval doc carries BOTH texts' shingles; train doc 1 = w1
+    ShingleIndex.appendEpoch(spark, dir, 0L,
+      Seq((100L, w1 + " " + w2), (1L, w1)).toDF("doc_id", "text"))
+    // epoch 1: doc 1 re-signed to w2 (disjoint shingles from w1)
+    ShingleIndex.appendEpoch(spark, dir, 1L,
+      Seq((1L, w2)).toDF("doc_id", "text"))
+    val union = Seq(0L, 1L)
+      .map(e => ShingleIndex.contamination(spark, dir, e, evalIds))
+      .reduce(_ unionByName _).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 1 appears ONCE, from its LATEST set only (w2: 6 shared
+    // 5-gram shingles with the eval doc's w2 half)
+    assert(union.keySet === Set(1L), s"got $union")
+    // value check: w2 has 10 words -> 6 distinct 5-gram shingles, all
+    // shared with the eval doc's w2 half
+    assert(union(1L) === 6L, s"got $union")
+    graft.analytics.SessionCaches.release(spark)
+  }
+
   test("epoch shingle work is epoch-sized: epoch 1 pair plan reads shingle sets, not corpus text") {
     // the DedupIndex pin (IncrementalDedupSpec) applied to the exact
     // modality: once a doc is signed, later epochs join its PERSISTED
