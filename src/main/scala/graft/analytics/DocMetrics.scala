@@ -79,6 +79,11 @@ object DocMetrics {
     // a 2-gram always contains a space
     val zero = struct(lit("").as("prev"), lit(0L).as("run"),
       lit(0L).as("top"), lit(0L).as("dup"))
+    // the finish lambda emits the FINAL (top_cnt, n_grams, dup_grams)
+    // struct directly: building it outside from two GetStructField
+    // references duplicated the whole fold subtree in the projection
+    // (interpreted HOF projections do no common-subexpression
+    // elimination — round-6 plan finding, 2× per-row cost)
     val folded = aggregate(grams, zero,
       (acc, x) => struct(
         x.as("prev"),
@@ -91,11 +96,9 @@ object DocMetrics {
             .otherwise(lit(0L))).as("dup")),
       acc => struct(
         greatest(acc("top"), acc("run")).as("top_cnt"),
+        (size(w) - 1).cast("long").as("n_grams"),
         (acc("dup") + when(acc("run") > 1L, acc("run"))
           .otherwise(lit(0L))).as("dup_grams")))
-    when(size(w) >= 2, struct(
-      folded("top_cnt").as("top_cnt"),
-      (size(w) - 1).cast("long").as("n_grams"),
-      folded("dup_grams").as("dup_grams")))
+    when(size(w) >= 2, folded)
   }
 }

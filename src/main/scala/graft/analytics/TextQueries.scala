@@ -226,9 +226,14 @@ object TextQueries {
     // zero exchanges, the doc never leaves its row, and the same
     // values to the last decimal (guide §2.4: remove shuffles
     // outright).
+    // NB filter on the CHEAP word-count predicate, not _rs.isNotNull:
+    // the latter puts isnotnull(<the whole fold>) into a filter the
+    // optimizer pushes below the scan fan-out (single-task double
+    // evaluation); this predicate is equivalent (repStats is null iff
+    // size(words) < 2) and costs one split+size at the scan
     "t16_repetition_metrics" -> ((s, d) => documents(s, d)
+      .filter(size(words(col("text"))) >= 2) // <2-word docs have no t16 row
       .withColumn("_rs", DocMetrics.repStats(col("text")))
-      .filter(col("_rs").isNotNull) // <2-word docs have no t16 row
       .select(col("doc_id"),
         round(col("_rs.top_cnt") / col("_rs.n_grams"), 4).as("top2gram_frac"),
         round(col("_rs.dup_grams") / col("_rs.n_grams"), 4).as("dup2gram_frac"),
@@ -264,11 +269,15 @@ object TextQueries {
       // sized at scale) through TWO exchanges; now the doc never
       // leaves its row and the query has zero exchanges (guide §2.4).
       val wv = words(col("text"))
-      val base = documents(s, d).select(col("doc_id"),
-        length(col("text")).as("n_len"),
-        transform(wv, x => xxhash64(x)).as("wh"),
-        transform(wv, x => length(x)).as("wl"))
-        .filter(size(col("wh")) >= 2) // <2-word docs have no t17 row
+      // filter on size(words), BEFORE the hash projection: filtering on
+      // size(wh) pushes size(transform(split, xxhash64)) into the scan
+      // filter — the whole word-hash pass run per doc on the scan task
+      val base = documents(s, d)
+        .filter(size(wv) >= 2) // <2-word docs have no t17 row
+        .select(col("doc_id"),
+          length(col("text")).as("n_len"),
+          transform(wv, x => xxhash64(x)).as("wh"),
+          transform(wv, x => length(x)).as("wl"))
       // sorted per-n gram array: struct(h, len) — wh/wl are BOUND
       // columns, so the lambda touches only array lookups
       def gramsN(n: Int): Column =

@@ -126,16 +126,11 @@ object ClusterIndex {
     try {
       val delta: DataFrame = prior match {
         case Nil =>
-          // first epoch: the contracted graph IS the pair graph
-          if (p.isEmpty)
-            spark.createDataFrame(spark.sparkContext
-                .emptyRDD[org.apache.spark.sql.Row],
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("node",
-                  org.apache.spark.sql.types.LongType),
-                org.apache.spark.sql.types.StructField("label",
-                  org.apache.spark.sql.types.LongType))))
-          else ownCc(ConnectedComponents.run(spark, p).labels)
+          // first epoch: the contracted graph IS the pair graph. No
+          // isEmpty pre-probe (round-6): CC's bounded limit(N+1) probe
+          // already handles an empty edge list (local union-find of
+          // zero edges → empty labels) without a separate action
+          ownCc(ConnectedComponents.run(spark, p).labels)
         case _ =>
           // state resolution is one narrow (node, label) scan — the
           // mirror-era path in [[liveLabels]] crosses zero exchanges
@@ -161,28 +156,25 @@ object ClusterIndex {
             .select(coalesce(col("ls"), col("src")).as("a"),
               coalesce(col("ld"), col("dst")).as("b"))
             .filter(col("a") =!= col("b")))
-          if (contracted.isEmpty) {
-            // every edge lands inside an existing component: nothing to
-            // write, but the epoch still commits (exactly-once marker)
-            spark.createDataFrame(spark.sparkContext
-                .emptyRDD[org.apache.spark.sql.Row],
-              state.schema)
-          } else {
-            val cc = ownCc(ConnectedComponents.run(spark, contracted).labels)
-            // old labels whose component got a smaller min, and new nodes
-            val changed = cc.filter(col("node") =!= col("label"))
-            val newIds = ends.join(state, Seq("node"), "left_anti")
-            val newRows = cc.join(broadcast(newIds), Seq("node"))
-            // relabel every member of a merged component: narrow state
-            // scan x broadcast (old label -> new label) map
-            val m = changed
-              .join(state.select(col("node")), Seq("node"), "left_semi")
-              .select(col("node").as("_old"), col("label").as("_new"))
-            val relabeled = state
-              .join(broadcast(m), col("label") === col("_old"))
-              .select(col("node"), col("_new").as("label"))
-            newRows.unionByName(relabeled)
-          }
+          // no isEmpty pre-probe (round-6): an all-in-cluster epoch
+          // (contracted empty — every edge lands inside an existing
+          // component) flows through as empty CC labels → empty
+          // newRows/relabeled → an empty delta that still commits (the
+          // exactly-once marker), saving one eager action per fold
+          val cc = ownCc(ConnectedComponents.run(spark, contracted).labels)
+          // old labels whose component got a smaller min, and new nodes
+          val changed = cc.filter(col("node") =!= col("label"))
+          val newIds = ends.join(state, Seq("node"), "left_anti")
+          val newRows = cc.join(broadcast(newIds), Seq("node"))
+          // relabel every member of a merged component: narrow state
+          // scan x broadcast (old label -> new label) map
+          val m = changed
+            .join(state.select(col("node")), Seq("node"), "left_semi")
+            .select(col("node").as("_old"), col("label").as("_new"))
+          val relabeled = state
+            .join(broadcast(m), col("label") === col("_old"))
+            .select(col("node"), col("_new").as("label"))
+          newRows.unionByName(relabeled)
       }
       // mirrors + Bloom sidecar on every entry (keyed on node): a
       // relabeled node's older rows are dropped by broadcast anti-join
