@@ -331,6 +331,38 @@ object DedupQueries {
     (pairs(0L), pairs(1L))
   }
 
+  /** The dd08/dd09 two-epoch MinHash index over `d`, built once per run
+    * scope — the [[sharedShingleIndexDir]] discipline applied to the
+    * minhash modality: the signature pass and the append's side
+    * artifacts (buckets dirs, Bloom sidecar, resigned probe) are
+    * computed once per corpus, not once per consumer. dd08 folds the
+    * candidate pairs; dd09 exact-verifies the SAME memoized candidates.
+    * Same snapshot-scoped caveat as every keyed memo.
+    */
+  def sharedMinhashIndexDir(s: SparkSession, d: String): String =
+    SessionCaches.memoValue(s, s"minhash-ix|$d") {
+      val ix = graft.FsUtil.scratchDir("mhix")
+      val docs = documents(s, d)
+      graft.operators.DedupIndex.appendEpoch(s, ix, 0L,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+      graft.operators.DedupIndex.appendEpoch(s, ix, 1L,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      ix
+    }
+
+  /** The shared index's per-epoch candidate pairs (est_jaccard rows),
+    * memoized like [[sharedShinglePairs]] — each epoch's index fold is
+    * computed once, whichever of dd08/dd09 runs first.
+    */
+  def sharedMinhashEpochPairs(s: SparkSession,
+                              d: String): (DataFrame, DataFrame) = {
+    val dir = sharedMinhashIndexDir(s, d)
+    def pairs(e: Long) = SessionCaches.memo(s, s"minhash-pairs|$d|$e") {
+      graft.operators.DedupIndex.epochPairs(s, dir, e)
+    }
+    (pairs(0L), pairs(1L))
+  }
+
   /** The shared index's scratch dir alone — dd15 reads the SAME
     * persisted shingle sets the pair maintenance uses (one shingle
     * store, every consumer).
@@ -407,17 +439,17 @@ object DedupQueries {
     // each epoch is deduped against itself + the index, never against
     // re-shingled corpus text. The union over epochs must equal the
     // from-scratch dd04 pair set — same oracle SQL. The index dir is a
-    // per-invocation scratch dir (tiny: 32 ints/doc; reclaimed at JVM
+    // run-scoped scratch dir (tiny: 32 ints/doc; reclaimed at JVM
     // exit, FsUtil.scratchDir); the returned frame reads only files
-    // committed at build time (pinned paths), so epoch 0's lazy plan
-    // cannot see epoch 1's append.
+    // committed at build time (pinned paths), and epochPairs(e) reads
+    // only entries <= e, so epoch 0's pair set is identical whether or
+    // not epoch 1 is already committed.
+    // The index build + per-epoch candidate folds are shared with dd09
+    // via the session memo (the dd13/dd14 discipline): dd08's pair set
+    // and dd09's verify stage both read the ONE two-epoch index,
+    // whichever runs first pays the build.
     "dd08_incremental_neardup" -> ((s, d) => {
-      val dir = graft.FsUtil.scratchDir("dd08-index")
-      val docs = documents(s, d)
-      val p0 = graft.operators.DedupIndex.foldEpoch(s, dir, 0L,
-        docs.filter(pmod(col("doc_id"), lit(2)) === 0))
-      val p1 = graft.operators.DedupIndex.foldEpoch(s, dir, 1L,
-        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      val (p0, p1) = sharedMinhashEpochPairs(s, d)
       p0.unionByName(p1)
     }),
 
@@ -519,15 +551,17 @@ object DedupQueries {
     // again, but each epoch's index candidates are verified by shingling
     // ONLY the candidate documents (pairs-bounded text work). Union over
     // epochs == exact Jaccard over the full LSH candidate set.
+    // Candidates come from the SAME memoized per-epoch index folds as
+    // dd08 (sharedMinhashEpochPairs); only the exact-verify stage —
+    // candidate fetch, full-corpus guard, pairs-bounded shingling — is
+    // dd09's own work.
     "dd09_incremental_verified" -> ((s, d) => {
-      val dir = graft.FsUtil.scratchDir("dd09-index")
+      val (p0, p1) = sharedMinhashEpochPairs(s, d)
       val docs = documents(s, d)
-      Seq(0, 1).map { e =>
-        graft.operators.DedupIndex.appendEpoch(s, dir, e.toLong,
-          docs.filter(pmod(col("doc_id"), lit(2)) === e))
-        graft.operators.DedupIndex.verifiedEpochPairs(s, dir, e.toLong,
-          docs, threshold = 0.8)
-      }.reduce(_ unionByName _)
+      Seq(p0, p1).map(p =>
+          graft.operators.DedupIndex.verifyCandidates(s, p, docs,
+            threshold = 0.8))
+        .reduce(_ unionByName _)
     })
   )
 

@@ -1004,9 +1004,20 @@ object DedupIndex {
     */
   def verifiedEpochPairs(spark: SparkSession, dir: String, epochId: Long,
                          corpus: DataFrame, threshold: Double,
-                         requireFullCorpus: Boolean = true): DataFrame = {
+                         requireFullCorpus: Boolean = true): DataFrame =
+    verifyCandidates(spark, epochPairs(spark, dir, epochId),
+      corpus, threshold, requireFullCorpus)
+
+  /** The exact-verify stage of [[verifiedEpochPairs]] against an
+    * ALREADY-COMPUTED candidate frame (first two columns doc_a, doc_b) —
+    * lets a run that has the epoch's [[epochPairs]] memoized (the dd08/
+    * dd09 shared index) verify without re-deriving the candidate join.
+    */
+  def verifyCandidates(spark: SparkSession, candidates: DataFrame,
+                       corpus: DataFrame, threshold: Double,
+                       requireFullCorpus: Boolean = true): DataFrame = {
     val cand = graft.analytics.SessionCaches.track(
-      epochPairs(spark, dir, epochId).select(col("doc_a"), col("doc_b")))
+      candidates.select(col("doc_a"), col("doc_b")))
     val ids = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id")))
       .distinct()
