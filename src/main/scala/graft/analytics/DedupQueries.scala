@@ -524,6 +524,17 @@ object DedupQueries {
     "dd13_incremental_clusters" -> ((s, d) => {
       val clDir = graft.FsUtil.scratchDir("dd13-cl")
       val (p0, p1) = sharedShinglePairs(s, d)
+      // materialize the two memoized (persisted) pair frames as
+      // CONCURRENT jobs before folding (guide §2.6): the folds must run
+      // serially (fold 1 reads fold 0's committed state), but the pair
+      // computations are independent of the cluster dir — overlapping
+      // them takes the pair stage to max(p0, p1) instead of p0 + p1.
+      // A failure here is swallowed: the frames are lazy, so the fold
+      // recomputes and surfaces the same error through the normal path.
+      val pre = Seq(p0, p1).map(p =>
+        java.util.concurrent.CompletableFuture.runAsync(() =>
+          try { p.count(); () } catch { case _: Throwable => () }))
+      pre.foreach(_.join())
       Seq(p0, p1).zipWithIndex.foreach { case (pairs, e) =>
         graft.operators.ClusterIndex.foldEpoch(s, clDir, e.toLong,
           pairs.select(col("doc_a"), col("doc_b")))
@@ -558,10 +569,18 @@ object DedupQueries {
     "dd09_incremental_verified" -> ((s, d) => {
       val (p0, p1) = sharedMinhashEpochPairs(s, d)
       val docs = documents(s, d)
-      Seq(p0, p1).map(p =>
+      // the two epochs' verify stages each run an eager full-corpus
+      // guard count during construction — independent jobs, overlapped
+      // (guide §2.6); join() rethrows a failed guard's require()
+      val futs = Seq(p0, p1).map(p =>
+        java.util.concurrent.CompletableFuture.supplyAsync(() =>
           graft.operators.DedupIndex.verifyCandidates(s, p, docs,
-            threshold = 0.8))
-        .reduce(_ unionByName _)
+            threshold = 0.8)))
+      futs.map { f =>
+        try f.join()
+        catch { case e: java.util.concurrent.CompletionException =>
+          throw Option(e.getCause).getOrElse(e) }
+      }.reduce(_ unionByName _)
     })
   )
 
