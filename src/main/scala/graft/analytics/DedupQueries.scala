@@ -345,8 +345,17 @@ object DedupQueries {
       val docs = documents(s, d)
       graft.operators.DedupIndex.appendEpoch(s, ix, 0L,
         docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+      // epoch 0's candidate fold reads only its committed (pinned)
+      // files — materialize the memoized frame concurrently with
+      // epoch 1's append (guide §2.6); consumers get it cache-warm
+      val p0 = SessionCaches.memo(s, s"minhash-pairs|$d|0") {
+        graft.operators.DedupIndex.epochPairs(s, ix, 0L)
+      }
+      val pre = java.util.concurrent.CompletableFuture.runAsync(() =>
+        try { p0.count(); () } catch { case _: Throwable => () })
       graft.operators.DedupIndex.appendEpoch(s, ix, 1L,
         docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      pre.join()
       ix
     }
 
